@@ -1,0 +1,16 @@
+"""Test environment: force an 8-virtual-device CPU platform before JAX loads,
+so sharding/halo tests run without TPU hardware (SURVEY.md §4 implication e).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

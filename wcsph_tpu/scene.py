@@ -1,0 +1,153 @@
+"""Scene construction: fluid blocks, procedural boundary shells, OBJ import.
+
+Host-side (numpy) equivalent of the reference's scene-building path:
+ParticleData.add_liquid_point / add_solid_point / add_obj
+(reference ParticleData.py:100-138) plus the per-driver init_particle
+functions (sesph.py:66-92, dfsph.py:59-82).
+
+A ``SceneBuilder`` accumulates points (liquid first, then solid — the index
+ordering IS the particle type system, matching the reference layout where
+liquid indices are [0, n_liquid) and boundary indices [n_liquid, n)).
+``build()`` returns a ``Scene`` with a single packed position array and the
+AABB needed to size the static neighbor grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .utils import objio
+
+
+@dataclasses.dataclass
+class Scene:
+    positions: np.ndarray       # (n, 3) float32, liquid rows first
+    n_liquid: int
+    n_solid: int
+    aabb_min: np.ndarray        # (3,) float32 over all particles
+    aabb_max: np.ndarray
+
+    @property
+    def n_total(self) -> int:
+        return self.n_liquid + self.n_solid
+
+    def domain(self, pad: float) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+        """Domain bounds for SimConfig, padded so moving fluid stays binned."""
+        lo = tuple(float(x) for x in (self.aabb_min - pad))
+        hi = tuple(float(x) for x in (self.aabb_max + pad))
+        return lo, hi
+
+
+class SceneBuilder:
+    """Accumulates liquid and solid points; mirrors ParticleData's scene API."""
+
+    def __init__(self) -> None:
+        self._liquid: List[np.ndarray] = []
+        self._solid: List[np.ndarray] = []
+
+    # -- point-level API (ParticleData.py:100-126) --
+    def add_liquid_point(self, point: Sequence[float]) -> None:
+        self._liquid.append(np.asarray(point, dtype=np.float32))
+
+    def add_solid_point(self, point: Sequence[float]) -> None:
+        self._solid.append(np.asarray(point, dtype=np.float32))
+
+    # -- bulk builders --
+    def add_liquid_block(
+        self,
+        dims: Tuple[int, int, int],
+        spacing: float,
+        origin: Sequence[float] = (0.0, 0.0, 0.0),
+    ) -> None:
+        """Axis-aligned block of dims[0]*dims[1]*dims[2] particles.
+
+        Equivalent to the 20^3 dam-break block loops (dfsph.py:70-73).
+        """
+        nx, ny, nz = dims
+        ox, oy, oz = origin
+        xs = np.arange(nx, dtype=np.float32) * spacing + ox
+        ys = np.arange(ny, dtype=np.float32) * spacing + oy
+        zs = np.arange(nz, dtype=np.float32) * spacing + oz
+        grid = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
+        self._liquid.extend(grid.reshape(-1, 3))
+
+    def add_box_shell(
+        self,
+        extent: float,
+        spacing: float,
+        center: Sequence[float] = (0.0, 0.0, 0.0),
+        layers: int = 1,
+    ) -> None:
+        """Hollow box shell of solid particles.
+
+        Procedural analogue of the sesph/pcisph wall construction
+        (sesph.py:84-90): points on a cubic lattice of pitch ``spacing``
+        spanning ``extent`` per side, keeping only the outer ``layers`` shells.
+        """
+        n = int(extent / spacing)
+        coords = np.arange(n, dtype=np.float32)
+        gx, gy, gz = np.meshgrid(coords, coords, coords, indexing="ij")
+        on_shell = (
+            (gx < layers) | (gy < layers) | (gz < layers)
+            | (gx >= n - layers) | (gy >= n - layers) | (gz >= n - layers)
+        )
+        step = extent / (float(n) - 1.0)
+        pts = np.stack([gx, gy, gz], axis=-1)[on_shell] * step - 0.5 * extent
+        pts += np.asarray(center, dtype=np.float32)
+        self._solid.extend(pts.astype(np.float32))
+
+    def add_obj(self, filename: str, solid: bool = True) -> None:
+        """Load vertex positions from an OBJ file as particles
+        (ParticleData.py:130-138 reads only 'v' records)."""
+        verts, _ = objio.load_obj(filename)
+        target = self._solid if solid else self._liquid
+        target.extend(np.asarray(verts, dtype=np.float32))
+
+    def build(self) -> Scene:
+        liquid = (
+            np.stack(self._liquid).astype(np.float32)
+            if self._liquid else np.zeros((0, 3), np.float32)
+        )
+        solid = (
+            np.stack(self._solid).astype(np.float32)
+            if self._solid else np.zeros((0, 3), np.float32)
+        )
+        pos = np.concatenate([liquid, solid], axis=0)
+        if pos.shape[0] == 0:
+            raise ValueError("empty scene")
+        return Scene(
+            positions=pos,
+            n_liquid=int(liquid.shape[0]),
+            n_solid=int(solid.shape[0]),
+            aabb_min=pos.min(axis=0),
+            aabb_max=pos.max(axis=0),
+        )
+
+
+def dam_break(
+    particle_radius: float = 0.025,
+    fluid_dims: Tuple[int, int, int] = (20, 20, 20),
+    box_extent: float = 2.0,
+    fluid_origin: Sequence[float] | None = None,
+    boundary_layers: int = 1,
+) -> Scene:
+    """Canonical dam-break: fluid block inside a hollow box shell.
+
+    Mirrors the reference default scene (20^3 liquid particles, 2.0 box;
+    sesph.py:29-38, 66-92) but centers the fluid block like dfsph.py:70-73.
+    """
+    spacing = 2.0 * particle_radius
+    b = SceneBuilder()
+    if fluid_origin is None:
+        nx, ny, nz = fluid_dims
+        fluid_origin = (
+            -0.5 * nx * spacing + 0.5 * spacing,
+            -0.5 * box_extent + spacing * (boundary_layers + 0.5),
+            -0.5 * nz * spacing + 0.5 * spacing,
+        )
+    b.add_liquid_block(fluid_dims, spacing, fluid_origin)
+    b.add_box_shell(box_extent, spacing, layers=boundary_layers)
+    return b.build()

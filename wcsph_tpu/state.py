@@ -1,0 +1,121 @@
+"""Simulation state as a JAX pytree.
+
+Replaces the reference's ParticleData field zoo (ParticleData.py:33-77) with a
+single immutable dataclass.  Layout parity: ``pos`` holds ALL particles with
+liquid rows first ([0, n_liquid)) and boundary/solid rows after — the index
+ordering is the particle type system, exactly as in the reference.  Per-liquid
+quantities are sized (n_liquid, ...).
+
+Warm-start fields the reference persists across frames (dfsph.py:199-200,
+417-418, 488-490) are part of the state so checkpoints capture them.
+The whole state is a pytree: it can be donated through jit, checkpointed
+(utils/checkpoint.py), and sharded over a device mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import SimConfig
+from .scene import Scene
+
+
+@struct.dataclass
+class StepDiagnostics:
+    """Per-step telemetry (the reference prints these per frame: dfsph.py:629).
+
+    All fields are traced scalars so they live on-device and never force a
+    host round-trip inside the step.
+    """
+
+    divergence_iters: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
+    pressure_iters: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
+    viscosity_iters: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
+    density_error: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    neighbor_overflow: jnp.ndarray = struct.field(default_factory=lambda: jnp.int32(0))
+    vel_max: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+
+
+@struct.dataclass
+class FluidState:
+    # --- dynamic per-particle arrays ---
+    pos: jnp.ndarray           # (n_total, 3) all particles, liquid first
+    vel: jnp.ndarray           # (n_liquid, 3)
+    omega: jnp.ndarray         # (n_liquid, 3) micropolar angular velocity
+    vel_guess: jnp.ndarray     # (n_liquid, 3) viscosity-PCG warm start (delta-v)
+    pressure: jnp.ndarray      # (n_liquid,)   IISPH warm start / SESPH EOS
+    kappa: jnp.ndarray         # (n_liquid,)   DFSPH constant-density warm start
+    kappa_v: jnp.ndarray       # (n_liquid,)   DFSPH divergence warm start
+
+    # --- scalars ---
+    dt: jnp.ndarray            # current time step
+    time: jnp.ndarray          # accumulated simulation time
+    last_visc_iters: jnp.ndarray   # CFL iteration feedback (dfsph.py:122-127)
+    last_pressure_iters: jnp.ndarray
+
+    diag: StepDiagnostics
+
+    # --- static structure ---
+    n_liquid: int = struct.field(pytree_node=False)
+    n_total: int = struct.field(pytree_node=False)
+
+    @property
+    def n_solid(self) -> int:
+        return self.n_total - self.n_liquid
+
+    @property
+    def liquid_pos(self) -> jnp.ndarray:
+        return self.pos[: self.n_liquid]
+
+
+def init_state(scene: Scene, cfg: SimConfig) -> FluidState:
+    """Build the initial on-device state from a host-side Scene.
+
+    Mirrors reset_param + setup_data_cpu (dfsph.py:167-178,
+    ParticleData.py:180-185): zero velocities/pressure/warm-starts, dt = dt_init.
+    """
+    del cfg  # shapes depend only on the scene; kept for API symmetry
+    nl, n = scene.n_liquid, scene.n_total
+    pos = jnp.asarray(scene.positions, dtype=jnp.float32)
+    z3 = jnp.zeros((nl, 3), jnp.float32)
+    z1 = jnp.zeros((nl,), jnp.float32)
+    return FluidState(
+        pos=pos,
+        vel=z3,
+        omega=z3,
+        vel_guess=z3,
+        pressure=z1,
+        kappa=z1,
+        kappa_v=z1,
+        dt=jnp.float32(1e-3),
+        time=jnp.float32(0.0),
+        last_visc_iters=jnp.int32(0),
+        last_pressure_iters=jnp.int32(0),
+        diag=StepDiagnostics(),
+        n_liquid=nl,
+        n_total=n,
+    )
+
+
+def state_to_numpy(state: FluidState) -> dict:
+    """Host copy of all dynamic arrays (for export / checkpoint / debugging)."""
+    dyn = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+        if f.name not in ("n_liquid", "n_total", "diag")
+    }
+    dyn["n_liquid"] = state.n_liquid
+    dyn["n_total"] = state.n_total
+    return dyn
+
+
+def has_nan(state: FluidState) -> jnp.ndarray:
+    """On-device NaN watchdog (reference checks one probe particle on host,
+    dfsph.py:645-647; we check everything)."""
+    leaves = [state.pos, state.vel, state.dt]
+    return jnp.any(jnp.stack([jnp.any(jnp.isnan(x)) for x in leaves]))

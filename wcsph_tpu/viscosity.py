@@ -1,0 +1,106 @@
+"""Implicit viscosity: matrix-free block-Jacobi preconditioned CG.
+
+Weiler 2018 implicit viscosity as used by the reference (duplicated in
+dfsph.py:181-246 and iisph.py:184-252): solve (I - dt/rho * L_visc) v' = v
+with a per-particle 3x3 block-Jacobi preconditioner.  The reference drives
+the CG loop from the host, reading cg_delta every iteration (dfsph.py:94-99);
+here the whole solve is one on-device ``lax.while_loop`` — no host round
+trips.  Scalar dot products that the reference accumulates with atomic adds
+into 1-element fields (dfsph.py:226-246) are jnp.sum reductions.
+
+Warm start parity: the previous frame's delta-v persists in vel_guess and the
+initial guess is vel_guess + vel (dfsph.py:199-200); on return vel_guess holds
+the new delta-v (dfsph.py:340-343 end_viscosity).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import ops
+from .config import SimConfig
+from .state import FluidState  # noqa: F401  (typing only)
+
+
+class ViscositySolution(NamedTuple):
+    vel_new: jnp.ndarray     # solved velocity v'
+    delta_v: jnp.ndarray     # v' - v  (next frame's warm start)
+    iters: jnp.ndarray       # PCG iterations performed
+
+
+def _pair_coeff(pairs: ops.Pairs, rho: jnp.ndarray, cfg: SimConfig,
+                n_liquid: int) -> jnp.ndarray:
+    """Shared per-pair coefficient of both the matvec and the preconditioner
+    (dfsph.py:182-195 vs 202-215): c_j / (|r|^2 + 0.01 h^2)."""
+    h = cfg.support_radius
+    denom = pairs.dist2 + 0.01 * h * h
+    rho_j = ops.gather_liquid(rho, pairs, n_liquid)
+    liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass / jnp.maximum(rho_j, 1.0)
+    sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
+           / rho[:, None] * cfg.solid_volume)
+    c = jnp.where(pairs.liquid, liq, jnp.where(pairs.solid, sol, 0.0))
+    return c / denom
+
+
+def _matvec(x: jnp.ndarray, pairs: ops.Pairs, coeff: jnp.ndarray,
+            rho: jnp.ndarray, dt: jnp.ndarray, n_liquid: int) -> jnp.ndarray:
+    """A x = x_i - dt/rho_i * sum_j c_j (x_i - x_j).r_ij gradW_ij
+    (x_j = 0 for boundary neighbors, matching get_viscosity_Ax)."""
+    x_j = ops.gather_liquid(x, pairs, n_liquid)
+    dx_dot_r = jnp.sum((x[:, None, :] - x_j) * pairs.rij, axis=-1)
+    acc = jnp.sum((coeff * dx_dot_r)[..., None] * pairs.grad_w, axis=1)
+    return x - acc * (dt / rho)[:, None]
+
+
+def _block_jacobi_inv(pairs: ops.Pairs, coeff: jnp.ndarray, rho: jnp.ndarray,
+                      dt: jnp.ndarray) -> jnp.ndarray:
+    """Minv_i = (I - dt/rho_i * sum_j c_j gradW ⊗ r)^-1  (dfsph.py:202-215)."""
+    outer = pairs.grad_w[..., :, None] * pairs.rij[..., None, :]   # (NL,K,3,3)
+    m = jnp.sum(coeff[..., None, None] * outer, axis=1)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    a = eye[None] - m * (dt / rho)[:, None, None]
+    return jnp.linalg.inv(a)
+
+
+def solve(pairs: ops.Pairs, vel: jnp.ndarray, vel_guess: jnp.ndarray,
+          rho: jnp.ndarray, dt: jnp.ndarray, cfg: SimConfig,
+          n_liquid: int) -> ViscositySolution:
+    coeff = _pair_coeff(pairs, rho, cfg, n_liquid)
+    minv = _block_jacobi_inv(pairs, coeff, rho, dt)
+
+    def mv(x):
+        return _matvec(x, pairs, coeff, rho, dt, n_liquid)
+
+    def precond(r):
+        return jnp.einsum("nij,nj->ni", minv, r)
+
+    x0 = vel_guess + vel                       # warm start (dfsph.py:199-200)
+    r0 = vel - mv(x0)
+    d0 = precond(r0)
+    delta0 = jnp.sum(r0 * d0)
+
+    def cond(carry):
+        x, r, d, delta, it = carry
+        keep = (it < cfg.max_cg_iters) & (delta > cfg.viscosity_err * delta0) \
+            & (delta0 >= cfg.eps)
+        return (it == 0) | keep                # reference always runs >= 1 iter
+
+    def body(carry):
+        x, r, d, delta, it = carry
+        ad = mv(d)
+        d_ad = cfg.eps + jnp.sum(d * ad)       # eps seed as in dfsph.py:227
+        alpha = delta / d_ad
+        x = x + alpha * d
+        r = r - alpha * ad
+        s = precond(r)
+        delta_new = jnp.sum(r * s)
+        beta = delta_new / delta
+        d = s + beta * d
+        return x, r, d, delta_new, it + 1
+
+    x, r, d, delta, iters = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, delta0, jnp.int32(0)))
+    return ViscositySolution(vel_new=x, delta_v=x - vel, iters=iters)
