@@ -4,7 +4,7 @@ so sharding/halo tests run without TPU hardware (SURVEY.md §4 implication e).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +13,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The hosting environment pre-sets JAX_PLATFORMS (e.g. to a TPU plugin) in a
+# way that survives os.environ edits, so force the CPU platform explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

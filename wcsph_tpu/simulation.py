@@ -1,0 +1,106 @@
+"""High-level simulation driver.
+
+Replaces the reference's per-solver ``while gui.running`` frame loops
+(dfsph.py:600-647 etc.) with a solver-agnostic driver around pure jitted step
+functions.  Two execution modes:
+
+  * ``step()`` — one jitted step, state stays on device (donated).
+  * ``run(n)`` — n steps via ``lax.scan`` in a single device program:
+    zero per-frame host round-trips, the mode used by the benchmark.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+
+from .config import SimConfig
+from .scene import Scene
+from .state import FluidState, init_state, has_nan
+from .solvers import dfsph, iisph, pcisph, sesph
+
+_SOLVERS: Dict[str, object] = {
+    "sesph": sesph,
+    "pcisph": pcisph,
+    "iisph": iisph,
+    "dfsph": dfsph,
+}
+
+
+def get_solver(name: str):
+    try:
+        return _SOLVERS[name]
+    except KeyError:
+        raise ValueError(f"unknown solver {name!r}; choose from {sorted(_SOLVERS)}")
+
+
+def default_config(solver: str, **overrides) -> SimConfig:
+    return get_solver(solver).default_config(**overrides)
+
+
+@partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+def _step_jit(state: FluidState, step_fn: Callable, cfg: SimConfig) -> FluidState:
+    return step_fn(state, cfg)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=0)
+def _rollout_jit(state: FluidState, step_fn: Callable, cfg: SimConfig,
+                 n_steps: int) -> FluidState:
+    def body(s, _):
+        return step_fn(s, cfg), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state
+
+
+class Simulation:
+    """Owns (config, solver, on-device state) for an interactive run."""
+
+    def __init__(self, scene: Scene, cfg: SimConfig, solver: str = "dfsph",
+                 init_fn=None):
+        self.cfg = cfg
+        self.solver_name = solver
+        self._solver = get_solver(solver)
+        self._step_fn = self._solver.step
+        self.state: FluidState = (init_fn or init_state)(scene, cfg)
+        if hasattr(self._solver, "prepare"):
+            self.state = self._solver.prepare(self.state, cfg)
+        self.state = self.state.replace(dt=jax.numpy.float32(cfg.dt_init))
+
+    def step(self) -> FluidState:
+        self.state = _step_jit(self.state, self._step_fn, self.cfg)
+        return self.state
+
+    def run(self, n_steps: int) -> FluidState:
+        self.state = _rollout_jit(self.state, self._step_fn, self.cfg, n_steps)
+        return self.state
+
+    # ---- host-side views ----
+    def positions(self) -> np.ndarray:
+        return np.asarray(self.state.pos)
+
+    def liquid_positions(self) -> np.ndarray:
+        return np.asarray(self.state.pos[: self.state.n_liquid])
+
+    def telemetry(self) -> dict:
+        d = self.state.diag
+        return {
+            "time": float(self.state.time),
+            "dt": float(self.state.dt),
+            "divergence_iters": int(d.divergence_iters),
+            "pressure_iters": int(d.pressure_iters),
+            "viscosity_iters": int(d.viscosity_iters),
+            "density_error": float(d.density_error),
+            "neighbor_overflow": int(d.neighbor_overflow),
+            "vel_max": float(d.vel_max),
+        }
+
+    def check_health(self) -> None:
+        """NaN watchdog (reference dfsph.py:645-647) — raises on divergence."""
+        if bool(has_nan(self.state)):
+            raise FloatingPointError(
+                f"NaN detected at t={float(self.state.time):.4f} "
+                f"(telemetry: {self.telemetry()})")

@@ -82,16 +82,22 @@ def init_state(scene: Scene, cfg: SimConfig) -> FluidState:
     del cfg  # shapes depend only on the scene; kept for API symmetry
     nl, n = scene.n_liquid, scene.n_total
     pos = jnp.asarray(scene.positions, dtype=jnp.float32)
-    z3 = jnp.zeros((nl, 3), jnp.float32)
-    z1 = jnp.zeros((nl,), jnp.float32)
+
+    # Distinct buffers per field: jit donation requires no aliased leaves.
+    def z3():
+        return jnp.zeros((nl, 3), jnp.float32)
+
+    def z1():
+        return jnp.zeros((nl,), jnp.float32)
+
     return FluidState(
         pos=pos,
-        vel=z3,
-        omega=z3,
-        vel_guess=z3,
-        pressure=z1,
-        kappa=z1,
-        kappa_v=z1,
+        vel=z3(),
+        omega=z3(),
+        vel_guess=z3(),
+        pressure=z1(),
+        kappa=z1(),
+        kappa_v=z1(),
         dt=jnp.float32(1e-3),
         time=jnp.float32(0.0),
         last_visc_iters=jnp.int32(0),
