@@ -1,0 +1,90 @@
+"""Benchmark: DFSPH dam-break throughput (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North star (BASELINE.json): 5e8 particle-steps/sec at 1M particles on one TPU
+chip.  The reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline is measured against that target.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+
+def build_sim(n_side: int):
+    from wcsph_tpu import dam_break
+    from wcsph_tpu.simulation import Simulation, default_config
+
+    r = 0.025
+    spacing = 2 * r
+    extent = n_side * spacing * 1.35
+    sc = dam_break(particle_radius=r, fluid_dims=(n_side, n_side, n_side),
+                   box_extent=extent)
+    lo, hi = sc.domain(pad=6 * r)
+    cfg = default_config("dfsph", particle_radius=r, domain_min=lo,
+                         domain_max=hi)
+    return Simulation(sc, cfg, solver="dfsph")
+
+
+def bench_once(n_side: int, warmup: int, steps: int):
+    sim = build_sim(n_side)
+    nl = sim.state.n_liquid
+    print(f"[bench] n_liquid={nl} n_total={sim.state.n_total} "
+          f"grid={sim.cfg.grid_res}", file=sys.stderr)
+
+    t0 = time.time()
+    sim.run(warmup)
+    jax.block_until_ready(sim.state.pos)
+    print(f"[bench] warmup ({warmup} steps incl. compile): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    sim.run(steps)
+    jax.block_until_ready(sim.state.pos)
+    elapsed = time.time() - t0
+
+    sim.check_health()
+    tel = sim.telemetry()
+    print(f"[bench] {steps} steps in {elapsed:.3f}s -> "
+          f"{nl * steps / elapsed:.3e} particle-steps/s; telemetry={tel}",
+          file=sys.stderr)
+    return nl * steps / elapsed, nl, tel
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", type=int, default=0,
+                    help="fluid cube side (0 = auto: 47 then 100)")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    args = ap.parse_args()
+
+    sides = [args.side] if args.side else [47, 100]
+    result = None
+    for side in sides:
+        try:
+            throughput, nl, tel = bench_once(side, args.warmup, args.steps)
+            label = "1M" if nl >= 900_000 else ("100k" if nl >= 90_000 else str(nl))
+            result = {
+                "metric": f"dfsph_particle_steps_per_sec_{label}",
+                "value": throughput,
+                "unit": "particle-steps/s",
+                "vs_baseline": throughput / 5.0e8,
+            }
+        except Exception as e:  # noqa: BLE001 - report partial results
+            print(f"[bench] side={side} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            break
+
+    if result is None:
+        sys.exit(1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

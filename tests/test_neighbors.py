@@ -23,11 +23,11 @@ def _cfg(**kw):
 
 def _check_against_oracle(pos, n_liquid, cfg):
     nbr = jax.jit(build_neighbors, static_argnums=(1, 2))(
-        jnp.asarray(pos), n_liquid, cfg)
+        jnp.asarray(pos.T), n_liquid, cfg)
     assert int(nbr.overflow) == 0
     oracle = brute_force_neighbors(pos, n_liquid, cfg.support_radius)
-    idx = np.asarray(nbr.idx)
-    mask = np.asarray(nbr.mask)
+    idx = np.asarray(nbr.idx).T
+    mask = np.asarray(nbr.mask).T
     count = np.asarray(nbr.count)
     for i in range(n_liquid):
         got = set(idx[i][mask[i]].tolist())
@@ -51,8 +51,8 @@ def test_out_of_domain_particles_are_isolated():
     cfg = _cfg()
     pos = np.array(
         [[0.0, 0.0, 0.0], [0.02, 0.0, 0.0], [5.0, 5.0, 5.0]], np.float32)
-    nbr = build_neighbors(jnp.asarray(pos), 3, cfg)
-    idx, mask = np.asarray(nbr.idx), np.asarray(nbr.mask)
+    nbr = build_neighbors(jnp.asarray(pos.T), 3, cfg)
+    idx, mask = np.asarray(nbr.idx).T, np.asarray(nbr.mask).T
     assert set(idx[0][mask[0]]) == {1}
     assert set(idx[1][mask[1]]) == {0}
     assert not mask[2].any()  # out-of-box: no neighbors (HashGrid check_in_box)
@@ -62,7 +62,7 @@ def test_overflow_reported():
     # 80 coincident particles exceed both cell capacity and K in a tiny config
     pos = np.zeros((80, 3), np.float32)
     cfg = _cfg(cell_capacity=8, max_neighbors=4)
-    nbr = build_neighbors(jnp.asarray(pos), 80, cfg)
+    nbr = build_neighbors(jnp.asarray(pos.T), 80, cfg)
     assert int(nbr.overflow) > 0
 
 
@@ -70,8 +70,8 @@ def test_neighbor_symmetry_on_liquid():
     rng = np.random.default_rng(7)
     pos = rng.uniform(-0.4, 0.4, size=(150, 3)).astype(np.float32)
     cfg = _cfg()
-    nbr = build_neighbors(jnp.asarray(pos), 150, cfg)
-    idx, mask = np.asarray(nbr.idx), np.asarray(nbr.mask)
+    nbr = build_neighbors(jnp.asarray(pos.T), 150, cfg)
+    idx, mask = np.asarray(nbr.idx).T, np.asarray(nbr.mask).T
     sets = [set(idx[i][mask[i]].tolist()) for i in range(150)]
     for i in range(150):
         for j in sets[i]:

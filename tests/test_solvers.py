@@ -55,8 +55,8 @@ def test_dfsph_fluid_settles():
     sim = _make("dfsph")
     sim.run(150)
     sim.check_health()
-    vel = np.asarray(sim.state.vel)
-    ke = 0.5 * float(np.mean(np.sum(vel**2, axis=1)))
+    vel = np.asarray(sim.state.vel)  # planar (3, NL)
+    ke = 0.5 * float(np.mean(np.sum(vel**2, axis=0)))
     assert ke < 5.0  # settled vs free-fall KE ~ O(10)
 
 
@@ -68,13 +68,13 @@ def test_pressure_force_momentum_symmetric():
     lo, hi = sc.domain(pad=4 * R)
     cfg = SimConfig(particle_radius=R, domain_min=lo, domain_max=hi)
     nl = sc.n_liquid
-    pos = jnp.asarray(sc.positions)
+    pos = jnp.asarray(sc.positions.T)
     nbr = build_neighbors(pos, nl, cfg)
     pairs = ops.precompute_pairs(pos, nbr, nl, cfg)
     rho = ops.density(pairs, cfg)
     rho_c, p = ops.tait_pressure(rho, cfg)
     acc = np.asarray(ops.pressure_accel_symmetric(pairs, rho_c, p, cfg, nl))
-    total = np.abs(acc.sum(axis=0))
+    total = np.abs(acc.sum(axis=1))
     scale = np.abs(acc).sum()
     assert np.all(total < 1e-4 * scale + 1e-3)
 
@@ -87,7 +87,7 @@ def test_sesph_density_near_rest_at_rest():
     sc = sc_builder.build()
     lo, hi = sc.domain(pad=4 * R)
     cfg = SimConfig(particle_radius=R, domain_min=lo, domain_max=hi)
-    pos = jnp.asarray(sc.positions)
+    pos = jnp.asarray(sc.positions.T)
     nbr = build_neighbors(pos, sc.n_liquid, cfg)
     pairs = ops.precompute_pairs(pos, nbr, sc.n_liquid, cfg)
     rho = np.asarray(ops.density(pairs, cfg))

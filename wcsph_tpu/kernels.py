@@ -74,6 +74,27 @@ def cubic_grad_w(r: jnp.ndarray, h: float) -> jnp.ndarray:
     return jnp.where(valid, mag * gradq, 0.0)
 
 
+def cubic_grad_scale(dist: jnp.ndarray, h: float) -> jnp.ndarray:
+    """Scalar s(|r|) with gradW(r) = s * r.
+
+    TPU layout note: storing gradW as a (..., 3) vector array pads the
+    minormost dim 3 to 128 lanes (a 42x memory blowup at scale); the scalar
+    factor keeps every pair array 2-D and lane-aligned.  Derivation from
+    CubicKernel.py:20-32: gradW = mag(q) * r/(|r| h), so
+      s = L (3q - 2) / h^2          for q <= 0.5   (q/(d h) = 1/h^2)
+      s = -L (1 - q)^2 / (d h)      for 0.5 < q <= 1
+      s = 0                         for d <= 1e-5 or q > 1
+    with L = 48 / (pi h^3).
+    """
+    m_l = 48.0 / (math.pi * h * h * h)
+    dist = jnp.asarray(dist)
+    q = dist / h
+    inner = m_l * (3.0 * q - 2.0) / (h * h)
+    outer = -m_l * (1.0 - q) * (1.0 - q) / (jnp.maximum(dist, _EPS) * h)
+    s = jnp.where(q <= 0.5, inner, outer)
+    return jnp.where((dist > _EPS) & (q <= 1.0), s, 0.0)
+
+
 def cohesion_w_scalar(dist: jnp.ndarray, h: float) -> jnp.ndarray:
     """Akinci cohesion spline (CohesionKernel.py:17-29).
 

@@ -9,16 +9,21 @@ uncut lists would waste ~60x the bandwidth, so the design here is different:
 1. Bin particles to cells of size h (= support radius, so 3x3x3 cells cover
    the support sphere instead of the reference's 5x5x5 half-size cells).
 2. Sort particle indices by linear cell id (XLA sort, no atomics).
-3. Collision-free scatter into a fixed-capacity (num_cells, C) table:
+3. Collision-free scatter into a fixed-capacity (C, num_cells) table:
    after sorting, a particle's slot is its rank within its cell
    (index - cell_start), so every write target is unique.
 4. Gather the 27-cell candidate window per liquid particle, cull by
-   distance <= h, and compact the survivors into a fixed (n_liquid, K)
-   neighbor list with a cumsum scatter (no sort needed).
+   distance <= h, and compact the survivors into a fixed (K, n_liquid)
+   neighbor list with a cumsum scatter (no per-row sort needed).
 
-Fixed capacities + masking replace the reference's fixed caps + overflow
-prints (maxInGrid=64, maxNeighbour=2048, ParticleData.py:27); overflow is
-reported as an on-device counter in the returned NeighborList.
+TPU layout: every pair-shaped array is (slots, particles) so the particle
+axis is the 128-lane minor dimension and the slot axis the 8-sublane
+dimension — no trailing small dims that XLA would pad 42x.  Positions are
+planar (3, N) for the same reason.
+
+Fixed capacities + masking replace the reference's caps + overflow prints
+(maxInGrid=64, maxNeighbour=2048, ParticleData.py:27); overflow is reported
+as an on-device counter in the returned NeighborList.
 """
 
 from __future__ import annotations
@@ -34,60 +39,66 @@ from .config import SimConfig
 class NeighborList(NamedTuple):
     """Fixed-shape neighbor contract consumed by every sweep in ops.py."""
 
-    idx: jnp.ndarray        # (n_liquid, K) int32 into the full particle array; -1 pad
-    mask: jnp.ndarray       # (n_liquid, K) bool
+    idx: jnp.ndarray        # (K, n_liquid) int32 into the full particle array; -1 pad
+    mask: jnp.ndarray       # (K, n_liquid) bool
     count: jnp.ndarray      # (n_liquid,) true within-h neighbor count (pre-cap)
     overflow: jnp.ndarray   # () int32: particles truncated + cell-capacity spills
 
 
-# 27-cell offsets, static
+# 27-cell offsets, static, shaped (27, 3) -> used as (27, 1) per component
 _OFFSETS = np.stack(
     np.meshgrid(np.arange(-1, 2), np.arange(-1, 2), np.arange(-1, 2), indexing="ij"),
     axis=-1,
 ).reshape(-1, 3).astype(np.int32)
 
 
-def cell_coords(pos: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
+def cell_coords(pos: jnp.ndarray, cfg: SimConfig):
+    """Integer cell coordinates per component; pos is planar (3, N)."""
     dmin = jnp.asarray(cfg.domain_min, jnp.float32)
-    return jnp.floor((pos - dmin) / cfg.cell_size).astype(jnp.int32)
+    inv = 1.0 / cfg.cell_size
+    cx = jnp.floor((pos[0] - dmin[0]) * inv).astype(jnp.int32)
+    cy = jnp.floor((pos[1] - dmin[1]) * inv).astype(jnp.int32)
+    cz = jnp.floor((pos[2] - dmin[2]) * inv).astype(jnp.int32)
+    return cx, cy, cz
 
 
-def _linear_id(coords: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
+def _linear_id(cx, cy, cz, cfg: SimConfig):
     gx, gy, gz = cfg.grid_res
-    return (coords[..., 0] * gy + coords[..., 1]) * gz + coords[..., 2]
+    return (cx * gy + cy) * gz + cz
 
 
-def _in_box(coords: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
+def _in_box(cx, cy, cz, cfg: SimConfig):
     gx, gy, gz = cfg.grid_res
-    res = jnp.asarray((gx, gy, gz), jnp.int32)
-    return jnp.all((coords >= 0) & (coords < res), axis=-1)
+    return ((cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
+            & (cz >= 0) & (cz < gz))
 
 
 def build_cell_table(pos: jnp.ndarray, cfg: SimConfig):
-    """Sorted binning into a (num_cells + 1, C) index table.
+    """Sorted binning into a (C, num_cells + 1) index table.
 
-    Row ``num_cells`` is reserved as the always-empty cell for out-of-domain
-    lookups (the reference instead skips out-of-box particles entirely,
-    HashGrid.py:58-66 + check_in_box).
-    Returns (table, cell_overflow_count).
+    Column ``num_cells`` is reserved as the always-empty cell for
+    out-of-domain lookups (the reference instead skips out-of-box particles,
+    HashGrid.py:58-66 + check_in_box).  Returns (table, cell_overflow_count).
     """
-    n = pos.shape[0]
+    n = pos.shape[1]
     num_cells = cfg.num_cells
     cap = cfg.cell_capacity
 
-    coords = cell_coords(pos, cfg)
-    valid = _in_box(coords, cfg)
-    cell_id = jnp.where(valid, _linear_id(coords, cfg), num_cells)
+    cx, cy, cz = cell_coords(pos, cfg)
+    valid = _in_box(cx, cy, cz, cfg)
+    cell_id = jnp.where(valid, _linear_id(cx, cy, cz, cfg), num_cells)
 
     order = jnp.argsort(cell_id)
     sorted_cell = cell_id[order]
-    starts = jnp.searchsorted(sorted_cell, jnp.arange(num_cells + 1, dtype=cell_id.dtype))
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[jnp.minimum(sorted_cell, num_cells)].astype(jnp.int32)
+    starts = jnp.searchsorted(sorted_cell,
+                              jnp.arange(num_cells + 1, dtype=cell_id.dtype))
+    rank = (jnp.arange(n, dtype=jnp.int32)
+            - starts[jnp.minimum(sorted_cell, num_cells)].astype(jnp.int32))
 
-    table = jnp.full((num_cells + 1, cap), -1, jnp.int32)
-    # Writes with rank >= cap or into the reserved row are dropped.
-    write_row = jnp.where(sorted_cell < num_cells, sorted_cell, num_cells + 1)
-    table = table.at[write_row, rank].set(order.astype(jnp.int32), mode="drop")
+    table = jnp.full((cap, num_cells + 1), -1, jnp.int32)
+    # Writes with rank >= cap or into column num_cells + 1 are dropped.
+    write_col = jnp.where(sorted_cell < num_cells, sorted_cell, num_cells + 1)
+    table = table.at[rank, write_col].set(order.astype(jnp.int32), mode="drop")
 
     counts = jnp.diff(jnp.concatenate([starts, jnp.asarray([n], starts.dtype)]))[:num_cells]
     cell_overflow = jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
@@ -96,33 +107,43 @@ def build_cell_table(pos: jnp.ndarray, cfg: SimConfig):
 
 def build_neighbors(pos: jnp.ndarray, n_liquid: int, cfg: SimConfig) -> NeighborList:
     """Neighbor lists for the liquid particles (reference builds them only for
-    liquid too: HashGrid.py setup places neighborCount over liquid_count)."""
+    liquid too: HashGrid.py setup places neighborCount over liquid_count).
+
+    pos is planar (3, n_total).
+    """
     table, cell_overflow = build_cell_table(pos, cfg)
     num_cells = cfg.num_cells
     cap = cfg.cell_capacity
     k_max = cfg.max_neighbors
     h2 = cfg.support_radius * cfg.support_radius
 
-    pos_l = pos[:n_liquid]
-    coords_l = cell_coords(pos_l, cfg)                       # (NL, 3)
-    ncoords = coords_l[:, None, :] + jnp.asarray(_OFFSETS)   # (NL, 27, 3)
-    ncell = jnp.where(_in_box(ncoords, cfg), _linear_id(ncoords, cfg), num_cells)
+    px, py, pz = pos[0], pos[1], pos[2]
+    cx, cy, cz = cell_coords(pos[:, :n_liquid], cfg)        # (NL,) each
+    off = jnp.asarray(_OFFSETS)                              # (27, 3)
+    nx = cx[None, :] + off[:, 0:1]                           # (27, NL)
+    ny = cy[None, :] + off[:, 1:2]
+    nz = cz[None, :] + off[:, 2:3]
+    ncell = jnp.where(_in_box(nx, ny, nz, cfg),
+                      _linear_id(nx, ny, nz, cfg), num_cells)
 
-    cand = table[ncell].reshape(n_liquid, 27 * cap)          # (NL, 27C)
+    cand = table[:, ncell].reshape(cap * 27, n_liquid)       # (27C, NL)
     jc = jnp.maximum(cand, 0)
-    rij = pos_l[:, None, :] - pos[jc]                        # (NL, 27C, 3)
-    dist2 = jnp.sum(rij * rij, axis=-1)
-    self_idx = jnp.arange(n_liquid, dtype=jnp.int32)[:, None]
+    rx = px[:n_liquid][None, :] - px[jc]
+    ry = py[:n_liquid][None, :] - py[jc]
+    rz = pz[:n_liquid][None, :] - pz[jc]
+    dist2 = rx * rx + ry * ry + rz * rz
+    self_idx = jnp.arange(n_liquid, dtype=jnp.int32)[None, :]
     good = (cand >= 0) & (cand != self_idx) & (dist2 <= h2)
 
-    count = jnp.sum(good, axis=1).astype(jnp.int32)
+    count = jnp.sum(good, axis=0).astype(jnp.int32)
 
-    # Cumsum compaction: survivor k goes to column (#survivors before k).
-    slot = jnp.cumsum(good, axis=1) - 1
-    col = jnp.where(good, slot, k_max)                       # k_max column = dropped
-    rows = jnp.broadcast_to(self_idx, cand.shape)
-    idx = jnp.full((n_liquid, k_max), -1, jnp.int32)
-    idx = idx.at[rows, col].set(cand, mode="drop")
+    # Cumsum compaction along the slot axis: survivor k goes to row
+    # (#survivors above it); row k_max = dropped.
+    slot = jnp.cumsum(good, axis=0) - 1
+    row = jnp.where(good, slot, k_max)
+    cols = jnp.broadcast_to(self_idx, cand.shape)
+    idx = jnp.full((k_max, n_liquid), -1, jnp.int32)
+    idx = idx.at[row, cols].set(cand, mode="drop")
     mask = idx >= 0
 
     truncated = jnp.sum(count > k_max).astype(jnp.int32)
@@ -131,7 +152,8 @@ def build_neighbors(pos: jnp.ndarray, n_liquid: int, cfg: SimConfig) -> Neighbor
 
 
 def brute_force_neighbors(pos: np.ndarray, n_liquid: int, h: float):
-    """O(N^2) oracle for tests: list of within-h neighbor index sets."""
+    """O(N^2) oracle for tests: list of within-h neighbor index sets.
+    pos is (N, 3) host-side."""
     pos = np.asarray(pos)
     out = []
     for i in range(n_liquid):

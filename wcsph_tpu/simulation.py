@@ -78,12 +78,12 @@ class Simulation:
         self.state = _rollout_jit(self.state, self._step_fn, self.cfg, n_steps)
         return self.state
 
-    # ---- host-side views ----
+    # ---- host-side views (state is planar (3, n); host API is (n, 3)) ----
     def positions(self) -> np.ndarray:
-        return np.asarray(self.state.pos)
+        return np.asarray(self.state.pos).T
 
     def liquid_positions(self) -> np.ndarray:
-        return np.asarray(self.state.pos[: self.state.n_liquid])
+        return np.asarray(self.state.pos[:, : self.state.n_liquid]).T
 
     def telemetry(self) -> dict:
         d = self.state.diag

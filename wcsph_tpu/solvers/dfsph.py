@@ -60,7 +60,7 @@ def divergence_solve(pairs: ops.Pairs, vel: jnp.ndarray, kappa_v: jnp.ndarray,
         k_ws = 0.5 * jnp.maximum(kappa_v / dt, -0.5 * rho0 * rho0)
         drho_ws = ops.drho_divergence(pairs, vel, cfg, n_liquid)
         vel_ws = ops.kappa_velocity_update(pairs, vel, k_ws, k_ws, dt, cfg, n_liquid)
-        vel = jnp.where((drho_ws > 0.0)[:, None], vel_ws, vel)
+        vel = jnp.where(drho_ws[None, :] > 0.0, vel_ws, vel)
 
     # begin_divergence_iter (dfsph.py:441-447)
     alpha_dt = alpha / dt
@@ -100,7 +100,7 @@ def pressure_solve(pairs: ops.Pairs, vel: jnp.ndarray, kappa: jnp.ndarray,
         k_ws = jnp.maximum(kappa / (dt * dt), -0.5 * rho0 * rho0)
         adv_ws = ops.advected_density(pairs, vel, rho, dt, cfg, n_liquid)
         vel_ws = ops.kappa_velocity_update(pairs, vel, k_ws, k_ws, dt, cfg, n_liquid)
-        vel = jnp.where((adv_ws > 1.0)[:, None], vel_ws, vel)
+        vel = jnp.where(adv_ws[None, :] > 1.0, vel_ws, vel)
 
     # begin_pressure_iter (dfsph.py:510-516)
     alpha_dt2 = alpha / (dt * dt)
@@ -140,7 +140,8 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     vel = div.vel
 
     # --- non-pressure forces (dfsph.py:84-103) ---
-    d_vel = jnp.broadcast_to(jnp.asarray(cfg.gravity, jnp.float32), vel.shape)
+    d_vel = jnp.broadcast_to(
+        jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1), vel.shape)
     if cfg.tension_coff != 0.0 or cfg.tension_coff_b != 0.0:
         normal = ops.surface_normals(pairs, rho, cfg, nl)
         d_vel = d_vel + ops.tension_accel(pairs, rho, normal, state.pos, cfg, nl)
@@ -165,7 +166,7 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     pr = pressure_solve(pairs, vel, state.kappa, alpha, rho, new_dt, cfg, nl)
     vel = pr.vel
 
-    pos = state.pos.at[:nl].add(vel * new_dt)           # update_pos
+    pos = state.pos.at[:, :nl].add(vel * new_dt)           # update_pos
 
     diag = StepDiagnostics(
         divergence_iters=div.iters,

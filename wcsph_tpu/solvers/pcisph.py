@@ -69,33 +69,39 @@ def pci_coefficient(particle_radius: float) -> float:
     return 1.0 / (beta * (float(sum_grad @ sum_grad) + sum_sq))
 
 
+def _star_geometry(pos_star_l, pos, pairs, cfg, n_liquid):
+    """r* = pos*_i - pos*_j (predicted positions for liquid pairs, original
+    for boundary) and its norm, planar layout."""
+    jc = pairs.idx
+    pos_j = pos[:, jc]                                      # (3, K, NL)
+    jl = jnp.minimum(jc, n_liquid - 1)
+    pos_star_j = jnp.where(pairs.liquid[None], pos_star_l[:, jl], pos_j)
+    r_star = pos_star_l[:, None, :] - pos_star_j
+    dist = jnp.sqrt(jnp.maximum(ops.dot3(r_star, r_star), 0.0))
+    return r_star, dist
+
+
 def _pressure_accel(pos_star_l, pos, pairs, pressure, cfg, n_liquid):
     """- sum_j [liq: V0 (p_i + p_j); sol: VS0 p_i] gradW(r*) with predicted
     positions for liquid pairs (pcisph.py:259-278, intended form)."""
-    jc = pairs.idx
-    pos_j = pos[jc]
-    pos_star_j = jnp.where(
-        pairs.liquid[..., None], pos_star_l[jnp.minimum(jc, n_liquid - 1)], pos_j)
-    r_star = pos_star_l[:, None, :] - pos_star_j
-    grad = jnp.where(pairs.mask[..., None],
-                     kernels.cubic_grad_w(r_star, cfg.support_radius), 0.0)
+    r_star, dist = _star_geometry(pos_star_l, pos, pairs, cfg, n_liquid)
+    gs = jnp.where(pairs.mask,
+                   kernels.cubic_grad_scale(dist, cfg.support_radius), 0.0)
     p_j = ops.gather_liquid(pressure, pairs, n_liquid)
     coeff = jnp.where(pairs.liquid,
-                      cfg.liquid_volume * (pressure[:, None] + p_j),
-                      jnp.where(pairs.solid, cfg.solid_volume * pressure[:, None], 0.0))
-    return -jnp.sum(coeff[..., None] * grad, axis=1)
+                      cfg.liquid_volume * (pressure[None, :] + p_j),
+                      jnp.where(pairs.solid,
+                                cfg.solid_volume * pressure[None, :], 0.0))
+    return -jnp.sum((coeff * gs)[None] * r_star, axis=1)
 
 
 def _predicted_density(pos_star_l, pos, pairs, cfg, n_liquid):
-    jc = pairs.idx
-    pos_j = pos[jc]
-    pos_star_j = jnp.where(
-        pairs.liquid[..., None], pos_star_l[jnp.minimum(jc, n_liquid - 1)], pos_j)
-    r_star = pos_star_l[:, None, :] - pos_star_j
-    w = jnp.where(pairs.mask, kernels.cubic_w(r_star, cfg.support_radius), 0.0)
+    r_star, dist = _star_geometry(pos_star_l, pos, pairs, cfg, n_liquid)
+    w = jnp.where(pairs.mask,
+                  kernels.cubic_w_scalar(dist, cfg.support_radius), 0.0)
     vj = ops.pair_volume(pairs, cfg)
     adv = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius) \
-        + jnp.sum(vj * w, axis=1)
+        + jnp.sum(vj * w, axis=0)
     return jnp.maximum(adv, 1.0)     # normalized, clamped (pcisph.py:254)
 
 
@@ -108,10 +114,10 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
 
     # non-pressure forces + density (pcisph.py:199-218)
     rho = ops.density(pairs, cfg)
-    gravity = jnp.asarray(cfg.gravity, jnp.float32)
+    gravity = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1)
     d_vel = gravity + ops.explicit_viscosity_accel(pairs, state.vel, rho, cfg, nl)
 
-    pos_l = state.pos[:nl]
+    pos_l = state.pos[:, :nl]
     zero3 = jnp.zeros_like(state.vel)
 
     def body(carry):
@@ -134,13 +140,13 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
                      jnp.float32(1.0), jnp.int32(0)))
 
     vel = state.vel + (d_vel + d_vel_pre) * dt               # pcisph.py:281-285
-    pos = state.pos.at[:nl].add(vel * dt)
+    pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
         pressure_iters=iters,
         density_error=err,
         neighbor_overflow=nbr.overflow,
-        vel_max=jnp.sqrt(jnp.max(jnp.sum(vel * vel, axis=-1))),
+        vel_max=jnp.sqrt(jnp.max(ops.dot3(vel, vel))),
     )
     return state.replace(pos=pos, vel=vel, pressure=pressure,
                          time=state.time + dt, diag=diag)

@@ -37,19 +37,19 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     rho = ops.density(pairs, cfg)                       # sesph.py:138-154
     rho, pressure = ops.tait_pressure(rho, cfg)         # sesph.py:158-166
 
-    gravity = jnp.asarray(cfg.gravity, jnp.float32)
+    gravity = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1)
     d_vel = (gravity
              + ops.explicit_viscosity_accel(pairs, state.vel, rho, cfg, nl)
              + ops.pressure_accel_symmetric(pairs, rho, pressure, cfg, nl))
 
     dt = state.dt
     vel = state.vel + d_vel * dt                        # sesph.py:191-196
-    pos = state.pos.at[:nl].add(vel * dt)
+    pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
         density_error=jnp.mean(rho) / cfg.rest_density - 1.0,
         neighbor_overflow=nbr.overflow,
-        vel_max=jnp.sqrt(jnp.max(jnp.sum(vel * vel, axis=-1))),
+        vel_max=jnp.sqrt(jnp.max(ops.dot3(vel, vel))),
     )
     return state.replace(
         pos=pos, vel=vel, pressure=pressure,

@@ -43,11 +43,13 @@ class StepDiagnostics:
 
 @struct.dataclass
 class FluidState:
-    # --- dynamic per-particle arrays ---
-    pos: jnp.ndarray           # (n_total, 3) all particles, liquid first
-    vel: jnp.ndarray           # (n_liquid, 3)
-    omega: jnp.ndarray         # (n_liquid, 3) micropolar angular velocity
-    vel_guess: jnp.ndarray     # (n_liquid, 3) viscosity-PCG warm start (delta-v)
+    # --- dynamic per-particle arrays (PLANAR: vectors are (3, n) so the
+    # particle axis is the 128-lane minor dim; a trailing size-3 dim would be
+    # padded to 128 lanes by XLA — see ops.py layout notes) ---
+    pos: jnp.ndarray           # (3, n_total) all particles, liquid first
+    vel: jnp.ndarray           # (3, n_liquid)
+    omega: jnp.ndarray         # (3, n_liquid) micropolar angular velocity
+    vel_guess: jnp.ndarray     # (3, n_liquid) viscosity-PCG warm start (delta-v)
     pressure: jnp.ndarray      # (n_liquid,)   IISPH warm start / SESPH EOS
     kappa: jnp.ndarray         # (n_liquid,)   DFSPH constant-density warm start
     kappa_v: jnp.ndarray       # (n_liquid,)   DFSPH divergence warm start
@@ -70,7 +72,7 @@ class FluidState:
 
     @property
     def liquid_pos(self) -> jnp.ndarray:
-        return self.pos[: self.n_liquid]
+        return self.pos[:, : self.n_liquid]
 
 
 def init_state(scene: Scene, cfg: SimConfig) -> FluidState:
@@ -81,11 +83,11 @@ def init_state(scene: Scene, cfg: SimConfig) -> FluidState:
     """
     del cfg  # shapes depend only on the scene; kept for API symmetry
     nl, n = scene.n_liquid, scene.n_total
-    pos = jnp.asarray(scene.positions, dtype=jnp.float32)
+    pos = jnp.asarray(scene.positions.T, dtype=jnp.float32)  # planar (3, n)
 
     # Distinct buffers per field: jit donation requires no aliased leaves.
     def z3():
-        return jnp.zeros((nl, 3), jnp.float32)
+        return jnp.zeros((3, nl), jnp.float32)
 
     def z1():
         return jnp.zeros((nl,), jnp.float32)

@@ -8,6 +8,9 @@ here the whole solve is one on-device ``lax.while_loop`` — no host round
 trips.  Scalar dot products that the reference accumulates with atomic adds
 into 1-element fields (dfsph.py:226-246) are jnp.sum reductions.
 
+The preconditioner matrix gradW ⊗ r = gs * r ⊗ r is symmetric, so it is
+stored as 6 planar component arrays (utils/mat3.py) — never as (N, 3, 3).
+
 Warm start parity: the previous frame's delta-v persists in vel_guess and the
 initial guess is vel_guess + vel (dfsph.py:199-200); on return vel_guess holds
 the new delta-v (dfsph.py:340-343 end_viscosity).
@@ -22,12 +25,12 @@ import jax.numpy as jnp
 
 from . import ops
 from .config import SimConfig
-from .state import FluidState  # noqa: F401  (typing only)
+from .utils import mat3
 
 
 class ViscositySolution(NamedTuple):
-    vel_new: jnp.ndarray     # solved velocity v'
-    delta_v: jnp.ndarray     # v' - v  (next frame's warm start)
+    vel_new: jnp.ndarray     # (3, NL) solved velocity v'
+    delta_v: jnp.ndarray     # (3, NL) v' - v (next frame's warm start)
     iters: jnp.ndarray       # PCG iterations performed
 
 
@@ -40,7 +43,7 @@ def _pair_coeff(pairs: ops.Pairs, rho: jnp.ndarray, cfg: SimConfig,
     rho_j = ops.gather_liquid(rho, pairs, n_liquid)
     liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass / jnp.maximum(rho_j, 1.0)
     sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
-           / rho[:, None] * cfg.solid_volume)
+           / rho[None, :] * cfg.solid_volume)
     c = jnp.where(pairs.liquid, liq, jnp.where(pairs.solid, sol, 0.0))
     return c / denom
 
@@ -50,19 +53,26 @@ def _matvec(x: jnp.ndarray, pairs: ops.Pairs, coeff: jnp.ndarray,
     """A x = x_i - dt/rho_i * sum_j c_j (x_i - x_j).r_ij gradW_ij
     (x_j = 0 for boundary neighbors, matching get_viscosity_Ax)."""
     x_j = ops.gather_liquid(x, pairs, n_liquid)
-    dx_dot_r = jnp.sum((x[:, None, :] - x_j) * pairs.rij, axis=-1)
-    acc = jnp.sum((coeff * dx_dot_r)[..., None] * pairs.grad_w, axis=1)
-    return x - acc * (dt / rho)[:, None]
+    dx_dot_r = ops.dot3(x[:, None, :] - x_j, pairs.rij)
+    acc = jnp.sum((coeff * dx_dot_r * pairs.gs)[None] * pairs.rij, axis=1)
+    return x - acc * (dt / rho)[None, :]
 
 
 def _block_jacobi_inv(pairs: ops.Pairs, coeff: jnp.ndarray, rho: jnp.ndarray,
-                      dt: jnp.ndarray) -> jnp.ndarray:
-    """Minv_i = (I - dt/rho_i * sum_j c_j gradW ⊗ r)^-1  (dfsph.py:202-215)."""
-    outer = pairs.grad_w[..., :, None] * pairs.rij[..., None, :]   # (NL,K,3,3)
-    m = jnp.sum(coeff[..., None, None] * outer, axis=1)
-    eye = jnp.eye(3, dtype=jnp.float32)
-    a = eye[None] - m * (dt / rho)[:, None, None]
-    return jnp.linalg.inv(a)
+                      dt: jnp.ndarray) -> mat3.Sym3:
+    """Minv_i = (I - dt/rho_i * sum_j c_j gs r ⊗ r)^-1  (dfsph.py:202-215)."""
+    cg = coeff * pairs.gs
+    rx, ry, rz = pairs.rij[0], pairs.rij[1], pairs.rij[2]
+    m = mat3.Sym3(
+        xx=jnp.sum(cg * rx * rx, axis=0),
+        xy=jnp.sum(cg * rx * ry, axis=0),
+        xz=jnp.sum(cg * rx * rz, axis=0),
+        yy=jnp.sum(cg * ry * ry, axis=0),
+        yz=jnp.sum(cg * ry * rz, axis=0),
+        zz=jnp.sum(cg * rz * rz, axis=0),
+    )
+    a = mat3.sym3_identity_minus(m, dt / rho)
+    return mat3.sym3_inverse(a)
 
 
 def solve(pairs: ops.Pairs, vel: jnp.ndarray, vel_guess: jnp.ndarray,
@@ -74,12 +84,9 @@ def solve(pairs: ops.Pairs, vel: jnp.ndarray, vel_guess: jnp.ndarray,
     def mv(x):
         return _matvec(x, pairs, coeff, rho, dt, n_liquid)
 
-    def precond(r):
-        return jnp.einsum("nij,nj->ni", minv, r)
-
     x0 = vel_guess + vel                       # warm start (dfsph.py:199-200)
     r0 = vel - mv(x0)
-    d0 = precond(r0)
+    d0 = minv.matvec(r0)
     delta0 = jnp.sum(r0 * d0)
 
     def cond(carry):
@@ -95,7 +102,7 @@ def solve(pairs: ops.Pairs, vel: jnp.ndarray, vel_guess: jnp.ndarray,
         alpha = delta / d_ad
         x = x + alpha * d
         r = r - alpha * ad
-        s = precond(r)
+        s = minv.matvec(r)
         delta_new = jnp.sum(r * s)
         beta = delta_new / delta
         d = s + beta * d
