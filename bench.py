@@ -13,7 +13,7 @@ import json
 import sys
 import time
 
-import jax
+import numpy as np
 
 
 def build_sim(n_side: int):
@@ -37,15 +37,18 @@ def bench_once(n_side: int, warmup: int, steps: int):
     print(f"[bench] n_liquid={nl} n_total={sim.state.n_total} "
           f"grid={sim.cfg.grid_res}", file=sys.stderr)
 
+    # Warmup must execute the SAME compiled program as the timed run: a scan
+    # of `steps` steps (a different length would trigger a fresh compile).
     t0 = time.time()
-    sim.run(warmup)
-    jax.block_until_ready(sim.state.pos)
-    print(f"[bench] warmup ({warmup} steps incl. compile): "
+    sim.run(steps)
+    np.asarray(sim.state.pos)   # force full device sync (block_until_ready is
+    # unreliable on the experimental axon platform)
+    print(f"[bench] warmup ({steps} steps incl. compile): "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     sim.run(steps)
-    jax.block_until_ready(sim.state.pos)
+    np.asarray(sim.state.pos)
     elapsed = time.time() - t0
 
     sim.check_health()

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -137,13 +138,12 @@ def build_neighbors(pos: jnp.ndarray, n_liquid: int, cfg: SimConfig) -> Neighbor
 
     count = jnp.sum(good, axis=0).astype(jnp.int32)
 
-    # Cumsum compaction along the slot axis: survivor k goes to row
-    # (#survivors above it); row k_max = dropped.
-    slot = jnp.cumsum(good, axis=0) - 1
-    row = jnp.where(good, slot, k_max)
-    cols = jnp.broadcast_to(self_idx, cand.shape)
-    idx = jnp.full((k_max, n_liquid), -1, jnp.int32)
-    idx = idx.at[row, cols].set(cand, mode="drop")
+    # Compaction along the slot axis: stable two-operand sort by !good moves
+    # survivors to the top rows of each lane; keep the first K.  (A scatter
+    # formulation measured 20x slower on TPU — scatters serialize.)
+    key = (~good).astype(jnp.int32)
+    skey, scand = jax.lax.sort((key, cand), dimension=0, num_keys=1)
+    idx = jnp.where(skey[:k_max] == 0, scand[:k_max], -1)
     mask = idx >= 0
 
     truncated = jnp.sum(count > k_max).astype(jnp.int32)

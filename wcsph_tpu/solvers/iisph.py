@@ -1,9 +1,9 @@
 """IISPH: implicit incompressible SPH (relaxed Jacobi pressure solve).
 
-Re-design of reference iisph.py: density -> implicit viscosity (PCG, shared
-module viscosity.py) -> advection coefficients (d_ii, a_ii, advected density,
-pressure warm start 0.5 p) -> relaxed-Jacobi pressure loop -> pressure force
-+ integrate.
+Re-design of reference iisph.py on the cell-dense packed layout: density ->
+implicit viscosity (PCG, shared module viscosity.py) -> advection
+coefficients (d_ii, a_ii, advected density, pressure warm start 0.5 p) ->
+relaxed-Jacobi pressure loop -> pressure force + integrate.
 
 Documented divergence from the reference: its Jacobi loop never copies the
 new pressure into pressure_pre (iisph.py:318-370), so every iteration
@@ -11,9 +11,6 @@ recomputes the same value; we implement the intended relaxed Jacobi
 (p_pre <- p each iteration, omega = 0.5).  Also d_ii / a_ii use the liquid
 volume for ALL neighbors in the reference (iisph.py:288, 313; VS0 == VL0
 there); we use the per-type neighbor volume.
-
-All math is in the planar TPU layout (see ops.py): velocities (3, NL), pair
-arrays (K, NL), gradW = gs * r.
 """
 
 from __future__ import annotations
@@ -21,9 +18,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .. import ops, viscosity
+from .. import dense_ops, viscosity
 from ..config import SimConfig
-from ..neighbors import build_neighbors
+from ..grid import build_grid, pack_liquid, unpack_liquid
 from ..state import FluidState, StepDiagnostics
 
 
@@ -45,72 +42,109 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     dt = state.dt
     rho0 = cfg.rest_density
     v0 = cfg.liquid_volume
-    nbr = build_neighbors(state.pos, nl, cfg)
-    pairs = ops.precompute_pairs(state.pos, nbr, nl, cfg)
+    grid = build_grid(state.pos, nl, cfg)
 
-    rho = ops.density(pairs, cfg)                       # iisph.py:254-268
+    stats = dense_ops.density_stats(grid, cfg, with_alpha=False)
+    rhop = stats.rho                                    # iisph.py:254-268
 
     # --- implicit viscosity (iisph.py:114-126) ---
-    visc = viscosity.solve(pairs, state.vel, state.vel_guess, rho, dt, cfg, nl)
-    gravity = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1)
-    d_vel = gravity + (visc.vel_new - state.vel) / dt   # combine_nonpressure
+    velp = pack_liquid(grid, state.vel)
+    vgp = pack_liquid(grid, state.vel_guess)
+    visc = viscosity.solve_dense(grid, cfg, velp, vgp, rhop, dt)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    d_vel = gvec + (visc.vel_new - velp) / dt           # combine_nonpressure
 
     # --- advection coefficients (iisph.py:276-316) ---
-    vel = state.vel + d_vel * dt
-    vj = ops.pair_volume(pairs, cfg)
-    inv_den = rho0 / rho                                 # normalized 1/density_i
-    # d_ii = -(rho0/rho_i)^2 sum_j V_j gradW   (planar (3, NL))
-    d_ii = -jnp.sum((vj * pairs.gs)[None] * pairs.rij, axis=1) \
-        * (inv_den * inv_den)[None, :]
+    velp = velp + d_vel * dt
+    inv_den2 = (rho0 / rhop) ** 2                        # (C, NC)
+    den_i2 = (rhop / rho0) ** 2
 
-    vel_j = ops.gather_liquid(vel, pairs, nl)
-    dv_dot_r = ops.dot3(vel[:, None, :] - vel_j, pairs.rij)
-    adv_rho = rho / rho0 + dt * jnp.sum(vj * pairs.gs * dv_dot_r, axis=0)
+    loop = dense_ops.WindowLoop(grid, cfg)
+    vel_pad = loop.pad(velp, 0.0)
 
-    # a_ii = sum_j V_j (d_ii - d_ji) . gradW, d_ji = V0/(rho_i/rho0)^2 gradW:
-    #   d_ii . gradW = gs * d_ii . r ;  d_ji . gradW = V0/den_i^2 gs^2 |r|^2
-    den_i2 = (rho / rho0) ** 2
-    dii_dot = pairs.gs * ops.dot3(d_ii[:, None, :], pairs.rij)
-    dji_dot = (v0 / den_i2)[None, :] * pairs.gs * pairs.gs * pairs.dist2
-    a_ii = jnp.sum(vj * (dii_dot - dji_dot), axis=0)
+    def adv_fn(carry, w, lp):
+        d_ii_acc, adv_acc, dji_acc = carry
+        gs = dense_ops._masked_gs(w, cfg)
+        vj = dense_ops._vol_j(w, cfg)
+        d_ii_acc = lp.accum_r(w, -vj * gs, d_ii_acc)
+        dv_dot = lp.delta_dot_r(w, velp, vel_pad)
+        adv_acc = adv_acc + jnp.sum(vj * gs * dv_dot, axis=1)
+        # a_ii part 2: sum_j V_j (d_ji . gradW) with d_ji = V0/den_i^2 gradW
+        dji_acc = dji_acc + jnp.sum(vj * gs * gs * w.dist2, axis=1)
+        return d_ii_acc, adv_acc, dji_acc
 
-    p_init = 0.5 * state.pressure                       # warm start iisph.py:292
+    d_ii_acc, adv_acc, dji_acc = loop.scan(
+        adv_fn, (dense_ops._zeros(grid, 3), dense_ops._zeros(grid),
+                 dense_ops._zeros(grid)))
+    d_ii = d_ii_acc * inv_den2[None]
+    adv_rho = rhop / rho0 + dt * adv_acc
+
+    # a_ii part 1: sum_j V_j d_ii . gradW
+    def aii_fn(acc, w, lp):
+        gs = dense_ops._masked_gs(w, cfg)
+        vj = dense_ops._vol_j(w, cfg)
+        dii_dot = lp.delta_dot_r(w, d_ii, None)
+        return acc + jnp.sum(vj * gs * dii_dot, axis=1)
+
+    aii_dii = loop.scan(aii_fn, dense_ops._zeros(grid))
+    a_ii = aii_dii - (v0 / den_i2) * dji_acc
+
+    pp = pack_liquid(grid, state.pressure)
+    p_init = 0.5 * pp                                   # warm start iisph.py:292
+    n_liq = jnp.sum(grid.liquid).astype(jnp.float32)
+    d_ii_pad = loop.pad(d_ii, 0.0)
 
     # --- relaxed Jacobi loop (iisph.py:130-139, 318-370) ---
-    rho_j = ops.gather_liquid(rho, pairs, nl)
-    den_j2 = jnp.where(pairs.liquid, (rho_j / rho0) ** 2, 1.0)
-    d_ii_j = jnp.where(pairs.liquid[None], d_ii[:, jnp.minimum(pairs.idx, nl - 1)], 0.0)
-
     def body(carry):
         _, p_pre, err, it = carry
-        p_j = ops.gather_liquid(p_pre, pairs, nl)
+        p_pad = loop.pad(p_pre, 0.0)
+
         # dij_pj_i = sum_liq -V0/(rho_j/rho0)^2 p_j gradW  (iisph.py:318-334)
-        coeff = jnp.where(pairs.liquid, -v0 / den_j2 * p_j * pairs.gs, 0.0)
-        dij_pj = jnp.sum(coeff[None] * pairs.rij, axis=1)          # (3, NL)
+        rho_pad = loop.pad(rhop, 1.0)
+
+        def dij_fn(acc, w, lp):
+            gs = dense_ops._masked_gs(w, cfg)
+            rho_j = lp.shift(rho_pad, w.lin)[None]
+            p_j = jnp.where(w.liq_j, lp.shift(p_pad, w.lin)[None], 0.0)
+            den_j2 = jnp.where(w.liq_j, (rho_j / rho0) ** 2, 1.0)
+            return lp.accum_r(w, jnp.where(w.liq_j, -v0 / den_j2 * p_j * gs, 0.0),
+                              acc)
+
+        dij_pj = loop.scan(dij_fn, dense_ops._zeros(grid, 3))
+        dij_pad = loop.pad(dij_pj, 0.0)
 
         # s_i (iisph.py:336-370)
-        dij_pj_j = jnp.where(pairs.liquid[None],
-                             dij_pj[:, jnp.minimum(pairs.idx, nl - 1)], 0.0)
-        dij_dot_i = pairs.gs * ops.dot3(dij_pj[:, None, :], pairs.rij)
-        dii_j_dot = pairs.gs * p_j * ops.dot3(d_ii_j, pairs.rij)
-        dij_j_dot = pairs.gs * ops.dot3(dij_pj_j, pairs.rij)
-        dji_pi_dot = (v0 / den_i2 * p_pre)[None, :] * pairs.gs * pairs.gs \
-            * pairs.dist2
-        term_liq = v0 * (dij_dot_i - dii_j_dot - dij_j_dot + dji_pi_dot)
-        term_sol = cfg.solid_volume * dij_dot_i
-        s = jnp.sum(jnp.where(pairs.liquid, term_liq,
-                              jnp.where(pairs.solid, term_sol, 0.0)), axis=0)
+        def s_fn(acc, w, lp):
+            gs = dense_ops._masked_gs(w, cfg)
+            p_j = jnp.where(w.liq_j, lp.shift(p_pad, w.lin)[None], 0.0)
+            dij_dot_i = gs * lp.delta_dot_r(w, dij_pj, None)
+            dii_j_dot = jnp.zeros_like(gs)
+            dij_j_dot = jnp.zeros_like(gs)
+            for c in range(3):
+                rc = lp.rij(w, c)
+                dii_j_dot = dii_j_dot + lp.shift(d_ii_pad[c], w.lin)[None] * rc
+                dij_j_dot = dij_j_dot + lp.shift(dij_pad[c], w.lin)[None] * rc
+            dii_j_dot = gs * p_j * dii_j_dot
+            dij_j_dot = gs * dij_j_dot
+            dji_pi_dot = (v0 / den_i2 * p_pre)[:, None, :] * gs * gs * w.dist2
+            term_liq = v0 * (dij_dot_i - dii_j_dot - dij_j_dot + dji_pi_dot)
+            term_sol = cfg.solid_volume * dij_dot_i
+            return acc + jnp.sum(
+                jnp.where(w.liq_j, term_liq,
+                          jnp.where(w.sol_j, term_sol, 0.0)), axis=1)
+
+        s = loop.scan(s_fn, dense_ops._zeros(grid))
 
         b = 1.0 - adv_rho
         h2 = dt * dt
         denom = a_ii * h2
+        ok = jnp.abs(denom) > cfg.eps
         p_new = jnp.maximum(
             (1.0 - cfg.iisph_omega) * p_pre
-            + cfg.iisph_omega / jnp.where(jnp.abs(denom) > cfg.eps, denom, 1.0)
-            * (b - h2 * s), 0.0)
-        p_new = jnp.where(jnp.abs(denom) > cfg.eps, p_new, 0.0)
+            + cfg.iisph_omega / jnp.where(ok, denom, 1.0) * (b - h2 * s), 0.0)
+        p_new = jnp.where(ok, p_new, 0.0)
         resid = jnp.where(p_new != 0.0, (a_ii * p_new + s) * h2 - b, 0.0)
-        err = jnp.sum(resid) / float(nl)
+        err = dense_ops.liquid_sum(grid, resid) / n_liq
         return p_pre, p_new, err, it + 1
 
     def cond(carry):
@@ -118,25 +152,35 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
         return ((err > cfg.iisph_tol) | (it < cfg.iisph_min_iters)) \
             & (it < cfg.iisph_max_iters)
 
-    _, pressure, err, iters = jax.lax.while_loop(
+    _, pp, err, iters = jax.lax.while_loop(
         cond, body, (p_init, p_init, jnp.float32(0.0), jnp.int32(0)))
 
     # --- pressure force + integrate (iisph.py:372-396) ---
-    dpi = pressure / den_i2
-    dp_j = ops.gather_liquid(dpi, pairs, nl)
-    coeff = jnp.where(pairs.liquid, v0 * (dpi[None, :] + dp_j),
-                      jnp.where(pairs.solid, cfg.solid_volume * dpi[None, :], 0.0))
-    d_vel_p = -jnp.sum((coeff * pairs.gs)[None] * pairs.rij, axis=1)
-    vel = vel + d_vel_p * dt
+    dpi = pp / den_i2
+    dpi_pad = loop.pad(dpi, 0.0)
+
+    def force_fn(acc, w, lp):
+        gs = dense_ops._masked_gs(w, cfg)
+        dp_j = jnp.where(w.liq_j, lp.shift(dpi_pad, w.lin)[None], 0.0)
+        coeff = jnp.where(w.liq_j, v0 * (dpi[:, None, :] + dp_j),
+                          jnp.where(w.sol_j,
+                                    cfg.solid_volume * dpi[:, None, :], 0.0))
+        return lp.accum_r(w, -coeff * gs, acc)
+
+    d_vel_p = loop.scan(force_fn, dense_ops._zeros(grid, 3))
+    velp = velp + d_vel_p * dt
+    vel = unpack_liquid(grid, velp, state.vel)
     pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
         pressure_iters=iters,
         viscosity_iters=visc.iters,
         density_error=err,
-        neighbor_overflow=nbr.overflow,
-        vel_max=jnp.sqrt(jnp.max(ops.dot3(vel, vel))),
+        neighbor_overflow=grid.overflow,
+        vel_max=jnp.sqrt(jnp.maximum(
+            dense_ops.liquid_max(grid, jnp.sum(velp * velp, axis=0)), 0.0)),
     )
-    return state.replace(pos=pos, vel=vel, pressure=pressure,
-                         vel_guess=visc.delta_v,
+    return state.replace(pos=pos, vel=vel,
+                         pressure=unpack_liquid(grid, pp, state.pressure),
+                         vel_guess=unpack_liquid(grid, visc.delta_v, state.vel_guess),
                          time=state.time + dt, diag=diag)

@@ -1,17 +1,18 @@
 """PCISPH: predictive-corrective incompressible SPH.
 
-Re-design of reference pcisph.py.  The scalar stiffness ``pci_coff`` is a pure
-function of the kernel geometry, integrated over a prototype filled
-neighborhood on the host at trace time (reference computes it on CPU with a
-numpy triple loop, pcisph.py:87-115); the prediction loop becomes a
-``lax.while_loop``.
+Re-design of reference pcisph.py on the cell-dense packed layout.  The scalar
+stiffness ``pci_coff`` is a pure function of the kernel geometry, integrated
+over a prototype filled neighborhood on the host at trace time (reference
+computes it on CPU with a numpy triple loop, pcisph.py:87-115); the
+prediction loop becomes a ``lax.while_loop``.
 
 Documented divergence from the reference: the reference predicts density from
 the ORIGINAL positions (pcisph.py:249 uses particle_data.pos, not pos_star),
 so its density error never changes across iterations, and it zeroes pressure
 each iteration (pcisph.py:235).  We implement the intended PCISPH (Solenthaler
 2009): density predicted at the advected positions, pressure accumulated
-across iterations.
+across iterations.  Binning stays at the original positions, like the
+reference's once-per-frame grid.
 """
 
 from __future__ import annotations
@@ -23,9 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import kernels, ops
+from .. import dense_ops, kernels
 from ..config import SimConfig
-from ..neighbors import build_neighbors
+from ..grid import build_grid, pack_liquid, unpack_liquid
 from ..state import FluidState, StepDiagnostics
 
 
@@ -69,84 +70,77 @@ def pci_coefficient(particle_radius: float) -> float:
     return 1.0 / (beta * (float(sum_grad @ sum_grad) + sum_sq))
 
 
-def _star_geometry(pos_star_l, pos, pairs, cfg, n_liquid):
-    """r* = pos*_i - pos*_j (predicted positions for liquid pairs, original
-    for boundary) and its norm, planar layout."""
-    jc = pairs.idx
-    pos_j = pos[:, jc]                                      # (3, K, NL)
-    jl = jnp.minimum(jc, n_liquid - 1)
-    pos_star_j = jnp.where(pairs.liquid[None], pos_star_l[:, jl], pos_j)
-    r_star = pos_star_l[:, None, :] - pos_star_j
-    dist = jnp.sqrt(jnp.maximum(ops.dot3(r_star, r_star), 0.0))
-    return r_star, dist
+def _predicted_density_and_accel(grid, cfg, xstar, pp):
+    """One window scan at the PREDICTED positions: clamped normalized density
+    and, reusing the same geometry, the pressure acceleration
+    (pcisph.py:237-278, intended starred-position form)."""
+    loop = dense_ops.WindowLoop(grid, cfg, xp=xstar)
+    p_pad = loop.pad(pp, 0.0)
 
+    def fn(carry, w, lp):
+        adv, acc = carry
+        wk = dense_ops._masked_w(w, cfg)
+        gs = dense_ops._masked_gs(w, cfg)
+        vj = dense_ops._vol_j(w, cfg)
+        adv = adv + jnp.sum(vj * wk, axis=1)
+        p_j = lp.shift(p_pad, w.lin)[None]
+        coeff = jnp.where(w.liq_j, cfg.liquid_volume * (pp[:, None, :] + p_j),
+                          jnp.where(w.sol_j,
+                                    cfg.solid_volume * pp[:, None, :], 0.0))
+        acc = lp.accum_r(w, -coeff * gs, acc)
+        return adv, acc
 
-def _pressure_accel(pos_star_l, pos, pairs, pressure, cfg, n_liquid):
-    """- sum_j [liq: V0 (p_i + p_j); sol: VS0 p_i] gradW(r*) with predicted
-    positions for liquid pairs (pcisph.py:259-278, intended form)."""
-    r_star, dist = _star_geometry(pos_star_l, pos, pairs, cfg, n_liquid)
-    gs = jnp.where(pairs.mask,
-                   kernels.cubic_grad_scale(dist, cfg.support_radius), 0.0)
-    p_j = ops.gather_liquid(pressure, pairs, n_liquid)
-    coeff = jnp.where(pairs.liquid,
-                      cfg.liquid_volume * (pressure[None, :] + p_j),
-                      jnp.where(pairs.solid,
-                                cfg.solid_volume * pressure[None, :], 0.0))
-    return -jnp.sum((coeff * gs)[None] * r_star, axis=1)
-
-
-def _predicted_density(pos_star_l, pos, pairs, cfg, n_liquid):
-    r_star, dist = _star_geometry(pos_star_l, pos, pairs, cfg, n_liquid)
-    w = jnp.where(pairs.mask,
-                  kernels.cubic_w_scalar(dist, cfg.support_radius), 0.0)
-    vj = ops.pair_volume(pairs, cfg)
-    adv = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius) \
-        + jnp.sum(vj * w, axis=0)
-    return jnp.maximum(adv, 1.0)     # normalized, clamped (pcisph.py:254)
+    adv, acc = loop.scan(fn, (dense_ops._zeros(grid), dense_ops._zeros(grid, 3)))
+    adv = jnp.maximum(cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
+                      + adv, 1.0)
+    return adv, acc
 
 
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
     coff = pci_coefficient(cfg.particle_radius)
-    nbr = build_neighbors(state.pos, nl, cfg)
-    pairs = ops.precompute_pairs(state.pos, nbr, nl, cfg)
+    grid = build_grid(state.pos, nl, cfg)
 
     # non-pressure forces + density (pcisph.py:199-218)
-    rho = ops.density(pairs, cfg)
-    gravity = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1)
-    d_vel = gravity + ops.explicit_viscosity_accel(pairs, state.vel, rho, cfg, nl)
+    stats = dense_ops.density_stats(grid, cfg, with_alpha=False)
+    rhop = stats.rho
+    velp = pack_liquid(grid, state.vel)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    d_vel = gvec + dense_ops.explicit_viscosity_accel(grid, cfg, velp, rhop)
 
-    pos_l = state.pos[:, :nl]
-    zero3 = jnp.zeros_like(state.vel)
+    n_liq = jnp.sum(grid.liquid).astype(jnp.float32)
+    zero1 = jnp.zeros(grid.pid.shape, jnp.float32)
 
     def body(carry):
-        d_vel_pre, pressure, err, it = carry
-        vel_star = state.vel + (d_vel + d_vel_pre) * dt      # pcisph.py:228-235
-        pos_star = pos_l + vel_star * dt
-        adv = _predicted_density(pos_star, state.pos, pairs, cfg, nl)
-        pressure = pressure + coff * (adv - 1.0) / (dt * dt)  # pcisph.py:255
-        d_vel_pre = _pressure_accel(pos_star, state.pos, pairs, pressure, cfg, nl)
-        err = jnp.sum(adv - 1.0) / float(nl)
-        return d_vel_pre, pressure, err, it + 1
+        d_vel_pre, pp, err, it = carry
+        vel_star = velp + (d_vel + d_vel_pre) * dt      # pcisph.py:228-235
+        xstar = grid.xp + jnp.where(grid.liquid[None], vel_star * dt, 0.0)
+        adv, _ = _predicted_density_and_accel(grid, cfg, xstar, pp)
+        pp = pp + coff * (adv - 1.0) / (dt * dt)        # pcisph.py:255
+        _, d_vel_pre = _predicted_density_and_accel(grid, cfg, xstar, pp)
+        err = dense_ops.liquid_sum(grid, adv - 1.0) / n_liq
+        return d_vel_pre, pp, err, it + 1
 
     def cond(carry):
         *_, err, it = carry
         return ((err > cfg.pcisph_tol) | (it < cfg.pcisph_min_iters)) \
             & (it < cfg.pcisph_max_iters)
 
-    d_vel_pre, pressure, err, iters = jax.lax.while_loop(
-        cond, body, (zero3, jnp.zeros((nl,), jnp.float32),
-                     jnp.float32(1.0), jnp.int32(0)))
+    d_vel_pre, pp, err, iters = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(velp), zero1, jnp.float32(1.0), jnp.int32(0)))
 
-    vel = state.vel + (d_vel + d_vel_pre) * dt               # pcisph.py:281-285
+    velp = velp + (d_vel + d_vel_pre) * dt              # pcisph.py:281-285
+    vel = unpack_liquid(grid, velp, state.vel)
     pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
         pressure_iters=iters,
         density_error=err,
-        neighbor_overflow=nbr.overflow,
-        vel_max=jnp.sqrt(jnp.max(ops.dot3(vel, vel))),
+        neighbor_overflow=grid.overflow,
+        vel_max=jnp.sqrt(jnp.maximum(
+            dense_ops.liquid_max(grid, jnp.sum(velp * velp, axis=0)), 0.0)),
     )
-    return state.replace(pos=pos, vel=vel, pressure=pressure,
+    return state.replace(pos=pos, vel=vel,
+                         pressure=unpack_liquid(grid, pp, state.pressure),
                          time=state.time + dt, diag=diag)

@@ -1,6 +1,7 @@
 """SESPH: state-equation (Tait EOS) SPH solver.
 
-Re-design of reference sesph.py:130-236 as one pure, jittable step function:
+Re-design of reference sesph.py:130-236 as one pure, jittable step on the
+cell-dense packed layout:
   density summation -> Tait EOS pressure -> symmetric pressure force +
   explicit viscosity -> semi-implicit Euler.
 No inner convergence loops; fixed dt (sesph.py:135 uses dt = 0.001).
@@ -10,9 +11,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .. import ops
+from .. import dense_ops, ops
 from ..config import SimConfig
-from ..neighbors import build_neighbors
+from ..grid import build_grid, pack_liquid, unpack_liquid
 from ..state import FluidState, StepDiagnostics
 
 
@@ -31,25 +32,29 @@ def default_config(**overrides) -> SimConfig:
 
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
-    nbr = build_neighbors(state.pos, nl, cfg)
-    pairs = ops.precompute_pairs(state.pos, nbr, nl, cfg)
-
-    rho = ops.density(pairs, cfg)                       # sesph.py:138-154
-    rho, pressure = ops.tait_pressure(rho, cfg)         # sesph.py:158-166
-
-    gravity = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1)
-    d_vel = (gravity
-             + ops.explicit_viscosity_accel(pairs, state.vel, rho, cfg, nl)
-             + ops.pressure_accel_symmetric(pairs, rho, pressure, cfg, nl))
-
     dt = state.dt
-    vel = state.vel + d_vel * dt                        # sesph.py:191-196
+    grid = build_grid(state.pos, nl, cfg)
+
+    stats = dense_ops.density_stats(grid, cfg, with_alpha=False)
+    rhop, pp = ops.tait_pressure(stats.rho, cfg)        # sesph.py:158-166
+
+    velp = pack_liquid(grid, state.vel)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    d_vel = (gvec
+             + dense_ops.explicit_viscosity_accel(grid, cfg, velp, rhop)
+             + dense_ops.pressure_accel_symmetric(grid, cfg, rhop, pp))
+
+    velp = velp + d_vel * dt                            # sesph.py:191-196
+    vel = unpack_liquid(grid, velp, state.vel)
     pos = state.pos.at[:, :nl].add(vel * dt)
+    pressure = unpack_liquid(grid, pp, state.pressure)
 
     diag = StepDiagnostics(
-        density_error=jnp.mean(rho) / cfg.rest_density - 1.0,
-        neighbor_overflow=nbr.overflow,
-        vel_max=jnp.sqrt(jnp.max(ops.dot3(vel, vel))),
+        density_error=dense_ops.liquid_sum(grid, rhop)
+        / jnp.maximum(jnp.sum(grid.liquid), 1) / cfg.rest_density - 1.0,
+        neighbor_overflow=grid.overflow,
+        vel_max=jnp.sqrt(jnp.maximum(
+            dense_ops.liquid_max(grid, jnp.sum(velp * velp, axis=0)), 0.0)),
     )
     return state.replace(
         pos=pos, vel=vel, pressure=pressure,

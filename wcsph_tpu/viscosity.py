@@ -111,3 +111,55 @@ def solve(pairs: ops.Pairs, vel: jnp.ndarray, vel_guess: jnp.ndarray,
     x, r, d, delta, iters = jax.lax.while_loop(
         cond, body, (x0, r0, d0, delta0, jnp.int32(0)))
     return ViscositySolution(vel_new=x, delta_v=x - vel, iters=iters)
+
+
+def solve_dense(grid, cfg: SimConfig, velp: jnp.ndarray, vel_guessp: jnp.ndarray,
+                rhop: jnp.ndarray, dt: jnp.ndarray) -> ViscositySolution:
+    """Same PCG on the cell-dense packed layout (dense_ops).  All dot
+    products restrict to liquid slots."""
+    from . import dense_ops
+
+    rho_pad = dense_ops.WindowLoop(grid, cfg).pad(rhop, 1.0)
+    minv = dense_ops.visc_precond(grid, cfg, rhop, rho_pad, dt)
+    liq3 = grid.liquid[None]
+
+    def mv(x):
+        return dense_ops.visc_matvec(grid, cfg, x, rhop, rho_pad, dt)
+
+    def precond(r):
+        # Sym3.matvec expects (3, N); flatten packed dims
+        shp = r.shape
+        flat = mat3.Sym3(*[c.reshape(-1) for c in minv]).matvec(
+            r.reshape(3, -1))
+        return flat.reshape(shp)
+
+    def ldot(a, b):
+        return jnp.sum(jnp.where(liq3, a * b, 0.0))
+
+    x0 = vel_guessp + velp
+    r0 = jnp.where(liq3, velp - mv(x0), 0.0)
+    d0 = precond(r0)
+    delta0 = ldot(r0, d0)
+
+    def cond(carry):
+        x, r, d, delta, it = carry
+        keep = (it < cfg.max_cg_iters) & (delta > cfg.viscosity_err * delta0) \
+            & (delta0 >= cfg.eps)
+        return (it == 0) | keep
+
+    def body(carry):
+        x, r, d, delta, it = carry
+        ad = jnp.where(liq3, mv(d), 0.0)
+        d_ad = cfg.eps + ldot(d, ad)
+        alpha = delta / d_ad
+        x = x + alpha * d
+        r = r - alpha * ad
+        s = precond(r)
+        delta_new = ldot(r, s)
+        beta = delta_new / delta
+        d = s + beta * d
+        return x, r, d, delta_new, it + 1
+
+    x, r, d, delta, iters = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, delta0, jnp.int32(0)))
+    return ViscositySolution(vel_new=x, delta_v=x - velp, iters=iters)
