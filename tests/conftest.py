@@ -17,3 +17,7 @@ import jax  # noqa: E402
 # way that survives os.environ edits, so force the CPU platform explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the dense engine's scan graphs are slow to
+# compile on the single-core CPU; cache across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

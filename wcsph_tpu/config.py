@@ -37,7 +37,11 @@ class SimConfig:
 
     # ---- neighbor search (replaces reference HashGrid.py) ----
     # Max particles binned per grid cell (cell size = support radius h = 4r).
-    cell_capacity: int = 24
+    # Rest-density occupancy is 8 at spacing 2r; dam-break compression peaks
+    # ~12 (measured).  Pair compute scales with capacity^2 — keep tight and
+    # watch diag.neighbor_overflow (the reference's "exceed grid" print,
+    # HashGrid.py:73).
+    cell_capacity: int = 16
     # Max retained neighbors per liquid particle after distance culling.
     max_neighbors: int = 64
 
