@@ -431,6 +431,42 @@ def vorticity(grid, cfg, velp, omegap, rhop, dt):
 
 
 # ---------------------------------------------------------------------------
+# Debug color field (ParticleData.compute_color_map, ParticleData.py:187-215)
+# ---------------------------------------------------------------------------
+
+def color_field(grid, cfg, rhop):
+    """Smoothed color function c_i and its normalized gradient (a surface
+    indicator).  Returns (color (C,NC), color_grad (3,C,NC))."""
+    loop = WindowLoop(grid, cfg)
+    rho_pad = loop.pad(rhop, 1.0)
+    m = cfg.liquid_mass
+
+    def c_fn(acc, w, lp):
+        wk = _masked_w(w, cfg)
+        rho_j = lp.shift(rho_pad, w.lin)[None]
+        coeff = jnp.where(w.liq_j, m / jnp.maximum(rho_j, 1.0),
+                          jnp.where(w.sol_j, cfg.solid_volume, 0.0))
+        return acc + jnp.sum(coeff * wk, axis=1)
+
+    color = (m / jnp.maximum(rhop, 1.0)
+             * kernels.cubic_w0(cfg.support_radius)
+             + loop.scan(c_fn, _zeros(grid)))
+
+    color_pad = loop.pad(color, 0.0)
+
+    def g_fn(acc, w, lp):
+        gs = _masked_gs(w, cfg)
+        rho_j = lp.shift(rho_pad, w.lin)[None]
+        c_j = lp.shift(color_pad, w.lin)[None]
+        coeff = jnp.where(w.liq_j,
+                          m / jnp.maximum(rho_j, 1.0) * c_j, 0.0) * gs
+        return lp.accum_r(w, coeff, acc)
+
+    grad = loop.scan(g_fn, _zeros(grid, 3)) / jnp.maximum(color, 1e-12)[None]
+    return color, grad
+
+
+# ---------------------------------------------------------------------------
 # Reductions over liquid slots
 # ---------------------------------------------------------------------------
 
