@@ -1,0 +1,72 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh: shard_map halo-exchange
+slab decomposition vs single-device results, and the jit-sharded full step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wcsph_tpu import dense_ops, scene
+from wcsph_tpu.grid import build_grid
+from wcsph_tpu.parallel import halo, sharding
+from wcsph_tpu.simulation import default_config
+from wcsph_tpu.solvers import dfsph
+from wcsph_tpu.state import init_state
+
+R = 0.025
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return sharding.make_mesh(8)
+
+
+def _scene_cfg():
+    sc = scene.dam_break(particle_radius=R, fluid_dims=(6, 6, 6), box_extent=0.7)
+    lo, hi = sc.domain(pad=4 * R)
+    cfg = default_config("dfsph", particle_radius=R, domain_min=lo, domain_max=hi)
+    return sc, cfg
+
+
+def test_halo_density_matches_single_device(mesh8):
+    sc, cfg = _scene_cfg()
+    cfg = halo.slab_config(cfg, 8)
+    assert cfg.grid_res[0] % 8 == 0
+    pos = jnp.asarray(sc.positions.T)
+    grid = build_grid(pos, sc.n_liquid, cfg)
+
+    rho_single = np.asarray(dense_ops.density_stats(grid, cfg, False).rho)
+    mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+    rho_sharded = np.asarray(halo.density_sharded(grid, cfg, mesh))
+    valid = np.asarray(grid.valid)
+    np.testing.assert_allclose(rho_sharded[valid], rho_single[valid], rtol=1e-5)
+
+
+def test_halo_collectives_present(mesh8):
+    """The sharded program must actually communicate (ppermute over ICI)."""
+    sc, cfg = _scene_cfg()
+    cfg = halo.slab_config(cfg, 8)
+    pos = jnp.asarray(sc.positions.T)
+    grid = build_grid(pos, sc.n_liquid, cfg)
+    mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+    txt = jax.jit(lambda g: halo.density_sharded(g, cfg, mesh)).lower(grid) \
+        .compile().as_text()
+    assert "collective-permute" in txt
+
+
+def test_sharded_full_step_runs(mesh8):
+    sc, cfg = _scene_cfg()
+    assert sc.n_liquid % 8 == 0      # 6^3 fluid block
+    sc = scene.pad_to_multiple(sc, 8)
+    state = init_state(sc, cfg)
+    state = sharding.shard_state(state, mesh8)
+    step = sharding.make_sharded_step(dfsph.step, cfg, mesh8, state)
+    out = step(state)
+    jax.block_until_ready(out.pos)
+    assert float(out.time) > 0
+    assert np.isfinite(np.asarray(out.pos)).all()
+    # iterate a few steps: stays finite and contained
+    for _ in range(3):
+        out = step(out)
+    assert np.isfinite(np.asarray(out.pos)).all()

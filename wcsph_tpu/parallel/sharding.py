@@ -37,11 +37,13 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def state_sharding(mesh: Mesh, state: FluidState):
-    """Per-particle arrays sharded on dim 0, scalars replicated."""
+    """Per-particle arrays sharded on the particle axis (the LAST dim in the
+    planar layout — vectors are (3, n)); scalars replicated."""
 
     def spec(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] > 1:
-            return NamedSharding(mesh, P(AXIS))
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[-1] > 8:
+            parts = (None,) * (leaf.ndim - 1) + (AXIS,)
+            return NamedSharding(mesh, P(*parts))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(spec, state)

@@ -127,6 +127,27 @@ class SceneBuilder:
         )
 
 
+def pad_to_multiple(sc: Scene, multiple: int) -> Scene:
+    """Pad the SOLID particle count so n_total divides ``multiple`` (even
+    sharding over a device mesh).  Pad particles sit far outside the domain
+    AABB: they are skipped by the binning (grid.py cell_of_positions, like
+    the reference's check_in_box skip at HashGrid.py:58-66) and never
+    interact.  n_liquid must already divide ``multiple`` if liquid arrays
+    are to be sharded."""
+    pad = (-sc.n_total) % multiple
+    if pad == 0:
+        return sc
+    far = sc.aabb_max + 1e3
+    extra = np.tile(far.astype(np.float32), (pad, 1))
+    return Scene(
+        positions=np.concatenate([sc.positions, extra], axis=0),
+        n_liquid=sc.n_liquid,
+        n_solid=sc.n_solid + pad,
+        aabb_min=sc.aabb_min,
+        aabb_max=sc.aabb_max,
+    )
+
+
 def dam_break(
     particle_radius: float = 0.025,
     fluid_dims: Tuple[int, int, int] = (20, 20, 20),
