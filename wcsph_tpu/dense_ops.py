@@ -102,6 +102,55 @@ class WindowLoop:
         carry, _ = jax.lax.scan(body, init, (self.lin, self.d3))
         return carry
 
+    # -- half-window machinery (Newton's-third-law symmetry) -------------
+    # The 26 nonzero offsets come in +-13 pairs whose pair geometry is
+    # identical up to r -> -r.  Hot ops evaluate each pair ONCE (scan over
+    # the 13 positive offsets) and scatter BOTH sides: the home contribution
+    # plus the mirrored contribution shifted back to the neighbor cell.
+    # The o = 0 block (same-cell pairs) already contains both directions.
+
+    def _half_offsets(self):
+        lins, d3s = [], []
+        for off in _OFFSETS:
+            lin = linear_offset(off, self.cfg)
+            if lin > 0:
+                lins.append(lin)
+                d3s.append(off)
+        return (jnp.asarray(lins, jnp.int32),
+                jnp.asarray(np.asarray(d3s, np.int32)))
+
+    def scan_half(self, fn, init):
+        """fn(carry, win, loop) over the 13 positive offsets."""
+        lins, d3s = self._half_offsets()
+
+        def body(carry, oin):
+            lin, d3 = oin
+            return fn(carry, self._make_win(lin, d3), self), None
+
+        carry, _ = jax.lax.scan(body, init, (lins, d3s))
+        return carry
+
+    def win0(self) -> Win:
+        """The zero-offset window (same-cell pairs, self-excluded)."""
+        return self._make_win(jnp.int32(0), jnp.zeros((3,), jnp.int32))
+
+    def shift_out(self, arr: jnp.ndarray, lin) -> jnp.ndarray:
+        """Scatter-back shift for mirror contributions:
+        out[..., c] = arr[..., c - lin] (zero fill)."""
+        w = self.pad_w
+        nc = self.cfg.num_cells
+        z = jnp.zeros(arr.shape[:-1] + (w,), arr.dtype)
+        padded = jnp.concatenate([z, arr, z], axis=-1)
+        start = (0,) * (arr.ndim - 1) + (w - lin,)
+        return jax.lax.dynamic_slice(padded, start, arr.shape[:-1] + (nc,))
+
+    def vol_home(self) -> jnp.ndarray:
+        """(C, 1, NC) particle volume of the home slot (0 when empty)."""
+        cfg = self.cfg
+        v = jnp.where(self.grid.liquid, cfg.liquid_volume,
+                      jnp.where(self.grid.valid, cfg.solid_volume, 0.0))
+        return v[:, None, :]
+
     # -- pair helpers (used inside scan bodies) --
     def rij(self, w: Win, c: int):
         return self.xp[c][:, None, :] - w.xn[c][None, :, :]
@@ -152,25 +201,42 @@ class DensityStats(NamedTuple):
 
 
 def density_stats(grid: DenseGrid, cfg: SimConfig, with_alpha: bool) -> DensityStats:
-    """Fused density + DFSPH alpha + neighbor count in ONE window scan."""
+    """Fused density + DFSPH alpha + neighbor count, half-window symmetric:
+    W, |gradW|^2 and the pair mask are direction-independent; the gradW sum
+    flips sign on the mirror side."""
     loop = WindowLoop(grid, cfg)
+    v_home = loop.vol_home()                           # (C, 1, NC)
+    liq_home = grid.liquid[:, None, :]
 
-    def fn(carry, w, lp):
+    def fn(carry, w, lp, mirror):
         rho_acc, count, sg, sq = carry
         vj = _vol_j(w, cfg)
-        rho_acc = rho_acc + jnp.sum(vj * _masked_w(w, cfg), axis=1)
+        wk = _masked_w(w, cfg)
+        rho_acc = rho_acc + jnp.sum(vj * wk, axis=1)
         count = count + jnp.sum(w.mask, axis=1)
+        if mirror:
+            rho_acc = rho_acc + lp.shift_out(jnp.sum(v_home * wk, axis=0), w.lin)
+            count = count + lp.shift_out(jnp.sum(w.mask, axis=0), w.lin)
         if with_alpha:
             gs = _masked_gs(w, cfg)
             sg = lp.accum_r(w, vj * gs, sg)
-            liq_c = jnp.where(w.liq_j, cfg.liquid_volume * gs, 0.0)
-            sq = sq + jnp.sum(liq_c * liq_c * w.dist2, axis=1)
+            liq_c2 = jnp.where(w.liq_j, (cfg.liquid_volume * gs) ** 2, 0.0)
+            sq = sq + jnp.sum(liq_c2 * w.dist2, axis=1)
+            if mirror:
+                vh_gs = v_home * gs
+                sg = sg - jnp.stack([
+                    lp.shift_out(jnp.sum(vh_gs * lp.rij(w, c), axis=0), w.lin)
+                    for c in range(3)])
+                liq_h2 = jnp.where(liq_home, (cfg.liquid_volume * gs) ** 2, 0.0)
+                sq = sq + lp.shift_out(jnp.sum(liq_h2 * w.dist2, axis=0), w.lin)
         return rho_acc, count, sg, sq
 
     cap, nc = grid.pid.shape
-    rho_acc, count, sg, sq = loop.scan(
-        fn, (_zeros(grid), jnp.zeros((cap, nc), jnp.int32), _zeros(grid, 3),
-             _zeros(grid)))
+    init = (_zeros(grid), jnp.zeros((cap, nc), jnp.int32), _zeros(grid, 3),
+            _zeros(grid))
+    carry = fn(init, loop.win0(), loop, False)
+    rho_acc, count, sg, sq = loop.scan_half(
+        lambda a, w, lp: fn(a, w, lp, True), carry)
     w0 = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
     rho = cfg.rest_density * (w0 + rho_acc)
     if with_alpha:
@@ -231,97 +297,140 @@ def pressure_accel_symmetric(grid, cfg, rhop, pp):
 # DFSPH
 # ---------------------------------------------------------------------------
 
-def drho_divergence(grid, cfg, velp, countp):
+def _div_accum(grid, cfg, velp):
+    """Half-window core of drho/adv_rho: sum_j V_j gs (v_i - v_j).r_ij.
+    The pair term gs * (v_i - v_j).r is fully symmetric (double sign flip on
+    the mirror side); only the volume factor swaps i<->j.  Solid velocities
+    are zero in the liquid-packed velp, matching the reference's branches."""
     loop = WindowLoop(grid, cfg)
     vel_pad = loop.pad(velp, 0.0)
+    v_home = loop.vol_home()
 
-    def fn(acc, w, lp):
+    def fn(acc, w, lp, mirror):
         gs = _masked_gs(w, cfg)
-        vj = jnp.where(w.liq_j | w.sol_j, _vol_j(w, cfg), 0.0)
-        dv_dot = lp.delta_dot_r(w, velp, vel_pad)
-        return acc + jnp.sum(vj * gs * dv_dot, axis=1)
+        f = gs * lp.delta_dot_r(w, velp, vel_pad)
+        acc = acc + jnp.sum(_vol_j(w, cfg) * f, axis=1)
+        if mirror:
+            acc = acc + lp.shift_out(jnp.sum(v_home * f, axis=0), w.lin)
+        return acc
 
-    acc = loop.scan(fn, _zeros(grid))
-    drho = jnp.maximum(acc, 0.0)
+    acc = fn(_zeros(grid), loop.win0(), loop, False)
+    return loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), acc)
+
+
+def drho_divergence(grid, cfg, velp, countp):
+    drho = jnp.maximum(_div_accum(grid, cfg, velp), 0.0)
     return jnp.where(countp < cfg.min_div_neighbors, 0.0, drho)
 
 
 def advected_density(grid, cfg, velp, rhop, dt):
-    loop = WindowLoop(grid, cfg)
-    vel_pad = loop.pad(velp, 0.0)
-
-    def fn(acc, w, lp):
-        gs = _masked_gs(w, cfg)
-        vj = _vol_j(w, cfg)
-        dv_dot = lp.delta_dot_r(w, velp, vel_pad)
-        return acc + jnp.sum(vj * gs * dv_dot, axis=1)
-
-    acc = loop.scan(fn, _zeros(grid))
+    acc = _div_accum(grid, cfg, velp)
     return jnp.maximum(rhop / cfg.rest_density + dt * acc, 1.0)
 
 
 def kappa_velocity_update(grid, cfg, velp, kp, dt):
-    """vel += dt * sum_j V_j (k_i + k_j) gradW, k_j = 0 for boundary."""
+    """vel += dt * sum_j V_j (k_i + k_j) gradW, k_j = 0 for boundary.
+
+    Half-window: F = (k_i + k_j) gs r_ij is shared; the home side scales by
+    V_j, the mirror side by -V_i.  kp is liquid-packed (zero at solid/empty
+    slots) so the reference's liquid/solid k_j branches collapse."""
     loop = WindowLoop(grid, cfg)
     k_pad = loop.pad(kp, 0.0)
     ki = kp[:, None, :]
+    v_home = loop.vol_home()
 
-    def fn(acc, w, lp):
+    def fn(acc, w, lp, mirror):
         gs = _masked_gs(w, cfg)
-        k_j = jnp.where(w.liq_j, lp.shift(k_pad, w.lin)[None], 0.0)
-        ksum = jnp.where(w.liq_j, ki + k_j, jnp.where(w.sol_j, ki, 0.0))
-        return lp.accum_r(w, _vol_j(w, cfg) * ksum * gs, acc)
+        ksum_gs = (ki + lp.shift(k_pad, w.lin)[None]) * gs
+        vj = _vol_j(w, cfg)
+        parts = []
+        for c in range(3):
+            f = ksum_gs * lp.rij(w, c)
+            home = jnp.sum(vj * f, axis=1)
+            if mirror:
+                home = home - lp.shift_out(jnp.sum(v_home * f, axis=0), w.lin)
+            parts.append(home)
+        return acc + jnp.stack(parts)
 
-    return velp + dt * loop.scan(fn, _zeros(grid, 3))
+    acc = fn(_zeros(grid, 3), loop.win0(), loop, False)
+    acc = loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), acc)
+    return velp + dt * acc
 
 
 # ---------------------------------------------------------------------------
 # Implicit viscosity (PCG pieces)
 # ---------------------------------------------------------------------------
 
-def _visc_coeff(w: Win, lp: WindowLoop, cfg, rhop, rho_pad):
+def _visc_coeffs(w: Win, lp: WindowLoop, cfg, rhop, rho_pad, liq_home, sol_home):
+    """(coeff_ij, coeff_ji): the Weiler viscosity pair coefficient seen from
+    the home side and from the neighbor side (dfsph.py:182-195):
+      liquid partner: dim nu m / rho_partner ; solid partner:
+      dim nu_b rho0 VS0 / rho_self — both over (|r|^2 + 0.01 h^2)."""
     h = cfg.support_radius
     denom = w.dist2 + 0.01 * h * h
-    rho_j = lp.shift(rho_pad, w.lin)[None]
-    liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass / jnp.maximum(rho_j, 1.0)
-    sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
-           / jnp.maximum(rhop, 1.0)[:, None, :] * cfg.solid_volume)
-    return jnp.where(w.liq_j, liq, jnp.where(w.sol_j, sol, 0.0)) / denom
+    a_liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass
+    b_sol = cfg.dim_coff * cfg.viscosity_b * cfg.rest_density * cfg.solid_volume
+    rho_i = jnp.maximum(rhop, 1.0)[:, None, :]
+    rho_j = jnp.maximum(lp.shift(rho_pad, w.lin), 1.0)[None]
+    c_ij = jnp.where(w.liq_j, a_liq / rho_j,
+                     jnp.where(w.sol_j, b_sol / rho_i, 0.0)) / denom
+    c_ji = jnp.where(liq_home, a_liq / rho_i,
+                     jnp.where(sol_home, b_sol / rho_j, 0.0)) / denom
+    return c_ij, c_ji
 
 
 def visc_matvec(grid, cfg, xv, rhop, rho_pad, dt):
-    """A x = x - dt/rho_i sum_j c_j (x_i - x_j).r gradW  (dfsph.py:181-195)."""
+    """A x = x - dt/rho_i sum_j c_j (x_i - x_j).r gradW  (dfsph.py:181-195).
+    Half-window: gs (x_i - x_j).r is symmetric; only the coefficient and the
+    sign of r swap on the mirror side."""
     loop = WindowLoop(grid, cfg)
     x_pad = loop.pad(xv, 0.0)
+    liq_home = grid.liquid[:, None, :]
+    sol_home = (grid.valid & ~grid.liquid)[:, None, :]
 
-    def fn(acc, w, lp):
-        coeff = _visc_coeff(w, lp, cfg, rhop, rho_pad)
-        gs = _masked_gs(w, cfg)
-        dx_dot = lp.delta_dot_r(w, xv, x_pad)
-        return lp.accum_r(w, coeff * dx_dot * gs, acc)
+    def fn(acc, w, lp, mirror):
+        c_ij, c_ji = _visc_coeffs(w, lp, cfg, rhop, rho_pad, liq_home, sol_home)
+        gs_dx = _masked_gs(w, cfg) * lp.delta_dot_r(w, xv, x_pad)
+        parts = []
+        for c in range(3):
+            rc = lp.rij(w, c)
+            home = jnp.sum(c_ij * gs_dx * rc, axis=1)
+            if mirror:
+                home = home - lp.shift_out(
+                    jnp.sum(c_ji * gs_dx * rc, axis=0), w.lin)
+            parts.append(home)
+        return acc + jnp.stack(parts)
 
-    acc = loop.scan(fn, _zeros(grid, 3))
+    acc = fn(_zeros(grid, 3), loop.win0(), loop, False)
+    acc = loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), acc)
     return xv - acc * (dt / jnp.maximum(rhop, 1.0))[None]
 
 
 def visc_precond(grid, cfg, rhop, rho_pad, dt) -> mat3.Sym3:
-    """Block-Jacobi inverse; gradW ⊗ r = gs r ⊗ r is symmetric."""
+    """Block-Jacobi inverse; gradW ⊗ r = gs r ⊗ r is symmetric (both in the
+    matrix sense and under the pair flip)."""
     loop = WindowLoop(grid, cfg)
+    liq_home = grid.liquid[:, None, :]
+    sol_home = (grid.valid & ~grid.liquid)[:, None, :]
 
-    def fn(carry, w, lp):
-        coeff = _visc_coeff(w, lp, cfg, rhop, rho_pad)
-        cg = coeff * _masked_gs(w, cfg)
+    def fn(carry, w, lp, mirror):
+        c_ij, c_ji = _visc_coeffs(w, lp, cfg, rhop, rho_pad, liq_home, sol_home)
+        gs = _masked_gs(w, cfg)
+        cg = c_ij * gs
+        cg_m = c_ji * gs
         r = [lp.rij(w, c) for c in range(3)]
-        return mat3.Sym3(
-            xx=carry.xx + jnp.sum(cg * r[0] * r[0], axis=1),
-            xy=carry.xy + jnp.sum(cg * r[0] * r[1], axis=1),
-            xz=carry.xz + jnp.sum(cg * r[0] * r[2], axis=1),
-            yy=carry.yy + jnp.sum(cg * r[1] * r[1], axis=1),
-            yz=carry.yz + jnp.sum(cg * r[1] * r[2], axis=1),
-            zz=carry.zz + jnp.sum(cg * r[2] * r[2], axis=1),
-        )
+        out = []
+        for (a, b) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+            rr = r[a] * r[b]
+            term = jnp.sum(cg * rr, axis=1)
+            if mirror:
+                term = term + lp.shift_out(jnp.sum(cg_m * rr, axis=0), w.lin)
+            out.append(term)
+        return mat3.Sym3(*[c0 + t for c0, t in zip(carry, out)])
 
-    m = loop.scan(fn, mat3.Sym3(*[_zeros(grid) for _ in range(6)]))
+    init = mat3.Sym3(*[_zeros(grid) for _ in range(6)])
+    m = fn(init, loop.win0(), loop, False)
+    m = loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), m)
     a = mat3.sym3_identity_minus(m, dt / jnp.maximum(rhop, 1.0))
     return mat3.sym3_inverse(a)
 
