@@ -95,3 +95,30 @@ def test_objio_roundtrip(tmp_path):
     v2, f2 = objio.load_obj(p)
     np.testing.assert_allclose(v2, v, atol=1e-5)
     np.testing.assert_array_equal(f2, f)
+
+
+def test_native_objio_matches_python(tmp_path):
+    """Differential test: native C++ OBJ parser vs pure-Python fallback."""
+    from wcsph_tpu.utils import native
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(500, 3)).astype(np.float32)
+    f = rng.integers(0, 500, (300, 3)).astype(np.int32)
+    p = str(tmp_path / "n.obj")
+    objio.save_obj(p, v, f)
+
+    lib = native.load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    vn, fn = objio.load_obj(p)
+    # force python fallback
+    old_lib, old_failed = native._lib, native._failed
+    try:
+        native._lib, native._failed = None, True
+        vp, fp = objio.load_obj(p)
+    finally:
+        native._lib, native._failed = old_lib, old_failed
+    np.testing.assert_allclose(vn, vp, atol=1e-6)
+    np.testing.assert_array_equal(fn, fp)
