@@ -40,17 +40,20 @@ def bench_once(n_side: int, warmup: int, steps: int):
     print(f"[bench] n_liquid={nl} n_total={sim.state.n_total} "
           f"grid={sim.cfg.grid_res}", file=sys.stderr)
 
-    # Warmup must execute the SAME compiled program as the timed run: a scan
-    # of `steps` steps (a different length would trigger a fresh compile).
+    # Per-step jitted calls (donated state): dispatch is ~ms vs a >100 ms
+    # step, and the single-step program compiles far faster than a scan-of-
+    # steps at large grid sizes.
     t0 = time.time()
-    sim.run(steps)
+    for _ in range(warmup):
+        sim.step()
     np.asarray(sim.state.pos)   # force full device sync (block_until_ready is
     # unreliable on the experimental axon platform)
-    print(f"[bench] warmup ({steps} steps incl. compile): "
+    print(f"[bench] warmup ({warmup} steps incl. compile): "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    sim.run(steps)
+    for _ in range(steps):
+        sim.step()
     np.asarray(sim.state.pos)
     elapsed = time.time() - t0
 

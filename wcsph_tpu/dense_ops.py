@@ -110,7 +110,8 @@ class WindowLoop:
     # The o = 0 block (same-cell pairs) already contains both directions.
 
     def _half_offsets(self):
-        lins, d3s = [], []
+        """The 13 positive offsets plus the zero offset (first)."""
+        lins, d3s = [0], [(0, 0, 0)]
         for off in _OFFSETS:
             lin = linear_offset(off, self.cfg)
             if lin > 0:
@@ -119,20 +120,22 @@ class WindowLoop:
         return (jnp.asarray(lins, jnp.int32),
                 jnp.asarray(np.asarray(d3s, np.int32)))
 
-    def scan_half(self, fn, init):
-        """fn(carry, win, loop) over the 13 positive offsets."""
+    def scan_sym(self, fn, init):
+        """fn(carry, win, loop, mgate) over {0} + the 13 positive offsets.
+
+        ``mgate`` is a traced 0.0/1.0 factor for the mirror contributions:
+        the zero-offset block already contains both pair directions, so its
+        mirror side is gated off.  One traced body serves all 14 offsets.
+        """
         lins, d3s = self._half_offsets()
 
         def body(carry, oin):
             lin, d3 = oin
-            return fn(carry, self._make_win(lin, d3), self), None
+            mgate = (lin > 0).astype(jnp.float32)
+            return fn(carry, self._make_win(lin, d3), self, mgate), None
 
         carry, _ = jax.lax.scan(body, init, (lins, d3s))
         return carry
-
-    def win0(self) -> Win:
-        """The zero-offset window (same-cell pairs, self-excluded)."""
-        return self._make_win(jnp.int32(0), jnp.zeros((3,), jnp.int32))
 
     def shift_out(self, arr: jnp.ndarray, lin) -> jnp.ndarray:
         """Scatter-back shift for mirror contributions:
@@ -208,35 +211,33 @@ def density_stats(grid: DenseGrid, cfg: SimConfig, with_alpha: bool) -> DensityS
     v_home = loop.vol_home()                           # (C, 1, NC)
     liq_home = grid.liquid[:, None, :]
 
-    def fn(carry, w, lp, mirror):
+    def fn(carry, w, lp, mg):
         rho_acc, count, sg, sq = carry
         vj = _vol_j(w, cfg)
         wk = _masked_w(w, cfg)
-        rho_acc = rho_acc + jnp.sum(vj * wk, axis=1)
-        count = count + jnp.sum(w.mask, axis=1)
-        if mirror:
-            rho_acc = rho_acc + lp.shift_out(jnp.sum(v_home * wk, axis=0), w.lin)
-            count = count + lp.shift_out(jnp.sum(w.mask, axis=0), w.lin)
+        rho_acc = rho_acc + jnp.sum(vj * wk, axis=1) \
+            + lp.shift_out(mg * jnp.sum(v_home * wk, axis=0), w.lin)
+        count = count + jnp.sum(w.mask, axis=1) \
+            + lp.shift_out((mg * jnp.sum(w.mask, axis=0)).astype(jnp.int32),
+                           w.lin)
         if with_alpha:
             gs = _masked_gs(w, cfg)
-            sg = lp.accum_r(w, vj * gs, sg)
+            vh_gs = v_home * gs
+            sg = sg + jnp.stack([
+                jnp.sum(_vol_j(w, cfg) * gs * lp.rij(w, c), axis=1)
+                - lp.shift_out(mg * jnp.sum(vh_gs * lp.rij(w, c), axis=0),
+                               w.lin)
+                for c in range(3)])
             liq_c2 = jnp.where(w.liq_j, (cfg.liquid_volume * gs) ** 2, 0.0)
-            sq = sq + jnp.sum(liq_c2 * w.dist2, axis=1)
-            if mirror:
-                vh_gs = v_home * gs
-                sg = sg - jnp.stack([
-                    lp.shift_out(jnp.sum(vh_gs * lp.rij(w, c), axis=0), w.lin)
-                    for c in range(3)])
-                liq_h2 = jnp.where(liq_home, (cfg.liquid_volume * gs) ** 2, 0.0)
-                sq = sq + lp.shift_out(jnp.sum(liq_h2 * w.dist2, axis=0), w.lin)
+            liq_h2 = jnp.where(liq_home, (cfg.liquid_volume * gs) ** 2, 0.0)
+            sq = sq + jnp.sum(liq_c2 * w.dist2, axis=1) \
+                + lp.shift_out(mg * jnp.sum(liq_h2 * w.dist2, axis=0), w.lin)
         return rho_acc, count, sg, sq
 
     cap, nc = grid.pid.shape
     init = (_zeros(grid), jnp.zeros((cap, nc), jnp.int32), _zeros(grid, 3),
             _zeros(grid))
-    carry = fn(init, loop.win0(), loop, False)
-    rho_acc, count, sg, sq = loop.scan_half(
-        lambda a, w, lp: fn(a, w, lp, True), carry)
+    rho_acc, count, sg, sq = loop.scan_sym(fn, init)
     w0 = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
     rho = cfg.rest_density * (w0 + rho_acc)
     if with_alpha:
@@ -306,16 +307,13 @@ def _div_accum(grid, cfg, velp):
     vel_pad = loop.pad(velp, 0.0)
     v_home = loop.vol_home()
 
-    def fn(acc, w, lp, mirror):
+    def fn(acc, w, lp, mg):
         gs = _masked_gs(w, cfg)
         f = gs * lp.delta_dot_r(w, velp, vel_pad)
-        acc = acc + jnp.sum(_vol_j(w, cfg) * f, axis=1)
-        if mirror:
-            acc = acc + lp.shift_out(jnp.sum(v_home * f, axis=0), w.lin)
-        return acc
+        return acc + jnp.sum(_vol_j(w, cfg) * f, axis=1) \
+            + lp.shift_out(mg * jnp.sum(v_home * f, axis=0), w.lin)
 
-    acc = fn(_zeros(grid), loop.win0(), loop, False)
-    return loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), acc)
+    return loop.scan_sym(fn, _zeros(grid))
 
 
 def drho_divergence(grid, cfg, velp, countp):
@@ -339,21 +337,19 @@ def kappa_velocity_update(grid, cfg, velp, kp, dt):
     ki = kp[:, None, :]
     v_home = loop.vol_home()
 
-    def fn(acc, w, lp, mirror):
+    def fn(acc, w, lp, mg):
         gs = _masked_gs(w, cfg)
         ksum_gs = (ki + lp.shift(k_pad, w.lin)[None]) * gs
         vj = _vol_j(w, cfg)
         parts = []
         for c in range(3):
             f = ksum_gs * lp.rij(w, c)
-            home = jnp.sum(vj * f, axis=1)
-            if mirror:
-                home = home - lp.shift_out(jnp.sum(v_home * f, axis=0), w.lin)
-            parts.append(home)
+            parts.append(jnp.sum(vj * f, axis=1)
+                         - lp.shift_out(mg * jnp.sum(v_home * f, axis=0),
+                                        w.lin))
         return acc + jnp.stack(parts)
 
-    acc = fn(_zeros(grid, 3), loop.win0(), loop, False)
-    acc = loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), acc)
+    acc = loop.scan_sym(fn, _zeros(grid, 3))
     return velp + dt * acc
 
 
@@ -388,21 +384,18 @@ def visc_matvec(grid, cfg, xv, rhop, rho_pad, dt):
     liq_home = grid.liquid[:, None, :]
     sol_home = (grid.valid & ~grid.liquid)[:, None, :]
 
-    def fn(acc, w, lp, mirror):
+    def fn(acc, w, lp, mg):
         c_ij, c_ji = _visc_coeffs(w, lp, cfg, rhop, rho_pad, liq_home, sol_home)
         gs_dx = _masked_gs(w, cfg) * lp.delta_dot_r(w, xv, x_pad)
         parts = []
         for c in range(3):
             rc = lp.rij(w, c)
-            home = jnp.sum(c_ij * gs_dx * rc, axis=1)
-            if mirror:
-                home = home - lp.shift_out(
-                    jnp.sum(c_ji * gs_dx * rc, axis=0), w.lin)
-            parts.append(home)
+            parts.append(jnp.sum(c_ij * gs_dx * rc, axis=1)
+                         - lp.shift_out(
+                             mg * jnp.sum(c_ji * gs_dx * rc, axis=0), w.lin))
         return acc + jnp.stack(parts)
 
-    acc = fn(_zeros(grid, 3), loop.win0(), loop, False)
-    acc = loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), acc)
+    acc = loop.scan_sym(fn, _zeros(grid, 3))
     return xv - acc * (dt / jnp.maximum(rhop, 1.0))[None]
 
 
@@ -413,7 +406,7 @@ def visc_precond(grid, cfg, rhop, rho_pad, dt) -> mat3.Sym3:
     liq_home = grid.liquid[:, None, :]
     sol_home = (grid.valid & ~grid.liquid)[:, None, :]
 
-    def fn(carry, w, lp, mirror):
+    def fn(carry, w, lp, mg):
         c_ij, c_ji = _visc_coeffs(w, lp, cfg, rhop, rho_pad, liq_home, sol_home)
         gs = _masked_gs(w, cfg)
         cg = c_ij * gs
@@ -422,15 +415,12 @@ def visc_precond(grid, cfg, rhop, rho_pad, dt) -> mat3.Sym3:
         out = []
         for (a, b) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
             rr = r[a] * r[b]
-            term = jnp.sum(cg * rr, axis=1)
-            if mirror:
-                term = term + lp.shift_out(jnp.sum(cg_m * rr, axis=0), w.lin)
-            out.append(term)
+            out.append(jnp.sum(cg * rr, axis=1)
+                       + lp.shift_out(mg * jnp.sum(cg_m * rr, axis=0), w.lin))
         return mat3.Sym3(*[c0 + t for c0, t in zip(carry, out)])
 
     init = mat3.Sym3(*[_zeros(grid) for _ in range(6)])
-    m = fn(init, loop.win0(), loop, False)
-    m = loop.scan_half(lambda a, w, lp: fn(a, w, lp, True), m)
+    m = loop.scan_sym(fn, init)
     a = mat3.sym3_identity_minus(m, dt / jnp.maximum(rhop, 1.0))
     return mat3.sym3_inverse(a)
 
