@@ -22,10 +22,10 @@ def _unit_cube_mesh():
 
 
 def test_cube_sampling_spacing_and_coverage():
-    r = 0.08
+    r = 0.1
     v, f = _unit_cube_mesh()
-    pts = poisson_disk_sample(v, f, r, trials=8, seed=1)
-    assert pts.shape[0] > 100, pts.shape
+    pts = poisson_disk_sample(v, f, r, trials=6, seed=1)
+    assert pts.shape[0] > 60, pts.shape
     # all points on the cube surface
     on_face = np.zeros(pts.shape[0], bool)
     for d in range(3):
@@ -49,8 +49,8 @@ def test_cube_sampling_spacing_and_coverage():
 
 
 def test_sampling_deterministic():
-    r = 0.1
+    r = 0.12
     v, f = _unit_cube_mesh()
-    p1 = poisson_disk_sample(v, f, r, trials=4, seed=7)
-    p2 = poisson_disk_sample(v, f, r, trials=4, seed=7)
+    p1 = poisson_disk_sample(v, f, r, trials=2, seed=7)
+    p2 = poisson_disk_sample(v, f, r, trials=2, seed=7)
     np.testing.assert_array_equal(p1, p2)
