@@ -425,6 +425,42 @@ def visc_precond(grid, cfg, rhop, rho_pad, dt) -> mat3.Sym3:
     return mat3.sym3_inverse(a)
 
 
+def visc_init(grid, cfg, x0, rhop, rho_pad, dt):
+    """Fused PCG setup: ONE window scan computes both the block-Jacobi
+    preconditioner sums and the warm-start matvec A x0 (they share the pair
+    coefficient and geometry).  Returns (Minv: Sym3, A x0: (3, C, NC))."""
+    loop = WindowLoop(grid, cfg)
+    x_pad = loop.pad(x0, 0.0)
+    liq_home = grid.liquid[:, None, :]
+    sol_home = (grid.valid & ~grid.liquid)[:, None, :]
+
+    def fn(carry, w, lp, mg):
+        msum, acc = carry
+        c_ij, c_ji = _visc_coeffs(w, lp, cfg, rhop, rho_pad, liq_home, sol_home)
+        gs = _masked_gs(w, cfg)
+        cg, cg_m = c_ij * gs, c_ji * gs
+        gs_dx = gs * lp.delta_dot_r(w, x0, x_pad)
+        r = [lp.rij(w, c) for c in range(3)]
+        mout = []
+        for (a, b) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+            rr = r[a] * r[b]
+            mout.append(jnp.sum(cg * rr, axis=1)
+                        + lp.shift_out(mg * jnp.sum(cg_m * rr, axis=0), w.lin))
+        parts = []
+        for c in range(3):
+            parts.append(jnp.sum(c_ij * gs_dx * r[c], axis=1)
+                         - lp.shift_out(
+                             mg * jnp.sum(c_ji * gs_dx * r[c], axis=0), w.lin))
+        return (mat3.Sym3(*[c0 + t for c0, t in zip(msum, mout)]),
+                acc + jnp.stack(parts))
+
+    init = (mat3.Sym3(*[_zeros(grid) for _ in range(6)]), _zeros(grid, 3))
+    m, acc = loop.scan_sym(fn, init)
+    a = mat3.sym3_identity_minus(m, dt / jnp.maximum(rhop, 1.0))
+    ax0 = x0 - acc * (dt / jnp.maximum(rhop, 1.0))[None]
+    return mat3.sym3_inverse(a), ax0
+
+
 # ---------------------------------------------------------------------------
 # Surface tension + adhesion (Akinci 2013)
 # ---------------------------------------------------------------------------
@@ -482,50 +518,71 @@ def tension_accel(grid, cfg, rhop, normalp):
 # ---------------------------------------------------------------------------
 
 def vorticity(grid, cfg, velp, omegap, rhop, dt):
-    """Returns (d_vel (3,C,NC), new omega (3,C,NC))."""
+    """Returns (d_vel (3,C,NC), new omega (3,C,NC)).
+
+    Half-window symmetric: the cross products cross(Δω, r) gs and
+    cross(Δv, r) gs are invariant under the pair flip (double sign change),
+    so only the per-side coefficients (1/rho, partner-mass, liquid gates)
+    differ between the home and mirror contributions."""
     rho0 = cfg.rest_density
     m = cfg.liquid_mass
+    c_vo = cfg.vorticity_coff
+    c_in = cfg.vorticity_init
     loop = WindowLoop(grid, cfg)
     vel_pad = loop.pad(velp, 0.0)
     om_pad = loop.pad(omegap, 0.0)
     rho_pad = loop.pad(rhop, 1.0)
     inv_rho_i = (1.0 / jnp.maximum(rhop, 1.0))[:, None, :]
+    liq_i = grid.liquid[:, None, :]
+    sol_i = (grid.valid & ~grid.liquid)[:, None, :]
+    mass_like_i = jnp.where(liq_i, m, jnp.where(sol_i, rho0 * cfg.solid_volume, 0.0))
+    stretch_mass_i = jnp.where(liq_i, m, jnp.where(sol_i, rho0 * cfg.liquid_volume, 0.0))
 
-    def fn(carry, w, lp):
+    def fn(carry, w, lp, mg):
         dv, dom = carry
         gs = _masked_gs(w, cfg)
         wker = _masked_w(w, cfg)
-        rho_j = lp.shift(rho_pad, w.lin)[None]
-        d_om = [omegap[c][:, None, :] - jnp.where(
-            w.liq_j, lp.shift(om_pad[c], w.lin)[None], 0.0) for c in range(3)]
+        rho_j = jnp.maximum(lp.shift(rho_pad, w.lin), 1.0)[None]
+        inv_rho_j = 1.0 / rho_j
+        om_n = [lp.shift(om_pad[c], w.lin)[None] for c in range(3)]
+        d_om = [omegap[c][:, None, :] - jnp.where(w.liq_j, om_n[c], 0.0)
+                for c in range(3)]
         d_ve = [velp[c][:, None, :] - jnp.where(
             w.liq_j, lp.shift(vel_pad[c], w.lin)[None], 0.0) for c in range(3)]
         r = [lp.rij(w, c) for c in range(3)]
-        mass_like = jnp.where(w.liq_j, m,
-                              jnp.where(w.sol_j, rho0 * cfg.solid_volume, 0.0))
-        stretch_mass = jnp.where(w.liq_j, m,
-                                 jnp.where(w.sol_j, rho0 * cfg.liquid_volume, 0.0))
-        transfer_c = jnp.where(w.liq_j,
-                               (-1.0 / dt) * cfg.vorticity_init
-                               * cfg.viscosity_omega
-                               * m / jnp.maximum(rho_j, 1.0) * wker, 0.0)
+        mass_like_j = jnp.where(w.liq_j, m,
+                                jnp.where(w.sol_j, rho0 * cfg.solid_volume, 0.0))
+        stretch_mass_j = jnp.where(w.liq_j, m,
+                                   jnp.where(w.sol_j, rho0 * cfg.liquid_volume, 0.0))
+        t_base = (-1.0 / dt) * c_in * cfg.viscosity_omega * m * wker
+        transfer_h = jnp.where(w.liq_j, t_base * inv_rho_j, 0.0)
+        transfer_m = jnp.where(liq_i, t_base * inv_rho_i, 0.0) * mg
+        cnt_j = jnp.sum(w.mask, axis=1)           # (C, NC) pairs per home
+        cnt_i = jnp.sum(w.mask, axis=0)           # pairs per neighbor slot
         dv_new, dom_new = [], []
         for c in range(3):
             c0, c1 = (c + 1) % 3, (c + 2) % 3
             cr_o = (d_om[c0] * r[c1] - d_om[c1] * r[c0]) * gs
             cr_v = (d_ve[c0] * r[c1] - d_ve[c1] * r[c0]) * gs
-            dv_new.append(dv[c] + jnp.sum(
-                cfg.vorticity_coff * inv_rho_i * mass_like * cr_o, axis=1))
-            damping = jnp.where(w.mask, -2.0 * cfg.vorticity_init
-                                * cfg.vorticity_coff
-                                * omegap[c][:, None, :], 0.0)
-            dom_new.append(dom[c] + jnp.sum(
-                transfer_c * d_om[c]
-                + cfg.vorticity_coff * cfg.vorticity_init * inv_rho_i
-                * stretch_mass * cr_v + damping, axis=1))
+            dvc = jnp.sum(c_vo * inv_rho_i * mass_like_j * cr_o, axis=1) \
+                + lp.shift_out(mg * jnp.sum(
+                    c_vo * inv_rho_j * mass_like_i * cr_o, axis=0), w.lin)
+            damp = -2.0 * c_in * c_vo
+            domc = jnp.sum(transfer_h * d_om[c]
+                           + c_vo * c_in * inv_rho_i * stretch_mass_j * cr_v,
+                           axis=1) \
+                + damp * omegap[c] * cnt_j \
+                + lp.shift_out(
+                    mg * (jnp.sum(-transfer_m * d_om[c]
+                                  + c_vo * c_in * inv_rho_j * stretch_mass_i
+                                  * cr_v, axis=0)
+                          + damp * lp.shift(om_pad[c], w.lin) * cnt_i),
+                    w.lin)
+            dv_new.append(dv[c] + dvc)
+            dom_new.append(dom[c] + domc)
         return jnp.stack(dv_new), jnp.stack(dom_new)
 
-    dv, dom = loop.scan(fn, (_zeros(grid, 3), _zeros(grid, 3)))
+    dv, dom = loop.scan_sym(fn, (_zeros(grid, 3), _zeros(grid, 3)))
     return dv, omegap + dom * dt
 
 

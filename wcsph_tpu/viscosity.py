@@ -120,11 +120,14 @@ def solve_dense(grid, cfg: SimConfig, velp: jnp.ndarray, vel_guessp: jnp.ndarray
     from . import dense_ops
 
     rho_pad = dense_ops.WindowLoop(grid, cfg).pad(rhop, 1.0)
-    minv = dense_ops.visc_precond(grid, cfg, rhop, rho_pad, dt)
     liq3 = grid.liquid[None]
 
     def mv(x):
         return dense_ops.visc_matvec(grid, cfg, x, rhop, rho_pad, dt)
+
+    x0 = vel_guessp + velp                     # warm start (dfsph.py:199-200)
+    # fused setup: preconditioner + A x0 share one window scan
+    minv, ax0 = dense_ops.visc_init(grid, cfg, x0, rhop, rho_pad, dt)
 
     def precond(r):
         # Sym3.matvec expects (3, N); flatten packed dims
@@ -136,8 +139,7 @@ def solve_dense(grid, cfg: SimConfig, velp: jnp.ndarray, vel_guessp: jnp.ndarray
     def ldot(a, b):
         return jnp.sum(jnp.where(liq3, a * b, 0.0))
 
-    x0 = vel_guessp + velp
-    r0 = jnp.where(liq3, velp - mv(x0), 0.0)
+    r0 = jnp.where(liq3, velp - ax0, 0.0)
     d0 = precond(r0)
     delta0 = ldot(r0, d0)
 
