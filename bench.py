@@ -19,7 +19,7 @@ import numpy as np
 # 100k particles, 4.3e5 at 1M (python bench.py --side 100).
 
 
-def build_sim(n_side: int):
+def build_sim(n_side: int, solver: str = "dfsph"):
     from wcsph_tpu import dam_break
     from wcsph_tpu.simulation import Simulation, default_config
 
@@ -29,13 +29,13 @@ def build_sim(n_side: int):
     sc = dam_break(particle_radius=r, fluid_dims=(n_side, n_side, n_side),
                    box_extent=extent)
     lo, hi = sc.domain(pad=6 * r)
-    cfg = default_config("dfsph", particle_radius=r, domain_min=lo,
+    cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi)
-    return Simulation(sc, cfg, solver="dfsph")
+    return Simulation(sc, cfg, solver=solver)
 
 
-def bench_once(n_side: int, warmup: int, steps: int):
-    sim = build_sim(n_side)
+def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph"):
+    sim = build_sim(n_side, solver)
     nl = sim.state.n_liquid
     print(f"[bench] n_liquid={nl} n_total={sim.state.n_total} "
           f"grid={sim.cfg.grid_res}", file=sys.stderr)
@@ -72,6 +72,8 @@ def main():
                          "works but XLA compile takes ~15 min at that size)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--solver", default="dfsph",
+                    choices=["sesph", "pcisph", "iisph", "dfsph"])
     args = ap.parse_args()
 
     import jax
@@ -85,10 +87,11 @@ def main():
     result = None
     for side in sides:
         try:
-            throughput, nl, tel = bench_once(side, args.warmup, args.steps)
+            throughput, nl, tel = bench_once(side, args.warmup, args.steps,
+                                             args.solver)
             label = "1M" if nl >= 900_000 else ("100k" if nl >= 90_000 else str(nl))
             result = {
-                "metric": f"dfsph_particle_steps_per_sec_{label}",
+                "metric": f"{args.solver}_particle_steps_per_sec_{label}",
                 "value": throughput,
                 "unit": "particle-steps/s",
                 "vs_baseline": throughput / 5.0e8,

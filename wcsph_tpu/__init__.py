@@ -8,8 +8,8 @@ decomposition for multi-chip scaling.
 """
 
 from .config import SimConfig
-from .scene import Scene, SceneBuilder, dam_break
-from .state import FluidState, init_state
+from .scene import Scene, SceneBuilder, dam_break, pad_to_multiple
+from .state import FluidState, StepDiagnostics, init_state
 
 __version__ = "0.1.0"
 
@@ -18,6 +18,19 @@ __all__ = [
     "Scene",
     "SceneBuilder",
     "dam_break",
+    "pad_to_multiple",
     "FluidState",
+    "StepDiagnostics",
     "init_state",
+    "Simulation",
+    "default_config",
 ]
+
+
+def __getattr__(name):
+    # lazy: simulation pulls in all solvers
+    if name in ("Simulation", "default_config"):
+        from . import simulation
+
+        return getattr(simulation, name)
+    raise AttributeError(name)
