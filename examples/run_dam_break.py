@@ -51,7 +51,9 @@ def main():
     if args.boundary_obj:
         b.add_obj(args.boundary_obj)
     else:
-        b.add_box_shell(max(2.0, n * spacing * 1.6), spacing)
+        # floor at y=0 (the fluid block starts at y=0.2 like dfsph.py:70-73)
+        extent = max(2.0, n * spacing * 1.6)
+        b.add_box_shell(extent, spacing, center=(0.0, 0.5 * extent, 0.0))
     sc = b.build()
     lo, hi = sc.domain(pad=6 * r)
     cfg = default_config(args.solver, particle_radius=r,
