@@ -122,3 +122,15 @@ def test_native_objio_matches_python(tmp_path):
         native._lib, native._failed = old_lib, old_failed
     np.testing.assert_allclose(vn, vp, atol=1e-6)
     np.testing.assert_array_equal(fn, fp)
+
+
+def test_debug_exports(tmp_path):
+    from wcsph_tpu.utils import debug_export
+
+    sim = _sim("sesph")
+    n1 = debug_export.export_field_points(sim.state, sim.cfg,
+                                          str(tmp_path / "field.obj"))
+    assert n1 > 50
+    n2 = debug_export.export_color_field(sim.state, sim.cfg,
+                                         str(tmp_path / "color.obj"))
+    assert n2 == sim.state.n_liquid

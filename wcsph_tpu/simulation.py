@@ -86,17 +86,18 @@ class Simulation:
         return np.asarray(self.state.pos[:, : self.state.n_liquid]).T
 
     def telemetry(self) -> dict:
+        # one batched device->host transfer (8 scalar pulls would each pay
+        # the full tunnel latency on the remote TPU platform)
         d = self.state.diag
-        return {
-            "time": float(self.state.time),
-            "dt": float(self.state.dt),
-            "divergence_iters": int(d.divergence_iters),
-            "pressure_iters": int(d.pressure_iters),
-            "viscosity_iters": int(d.viscosity_iters),
-            "density_error": float(d.density_error),
-            "neighbor_overflow": int(d.neighbor_overflow),
-            "vel_max": float(d.vel_max),
-        }
+        vals = jax.device_get((self.state.time, self.state.dt,
+                               d.divergence_iters, d.pressure_iters,
+                               d.viscosity_iters, d.density_error,
+                               d.neighbor_overflow, d.vel_max))
+        keys = ("time", "dt", "divergence_iters", "pressure_iters",
+                "viscosity_iters", "density_error", "neighbor_overflow",
+                "vel_max")
+        out = dict(zip(keys, (v.item() for v in map(np.asarray, vals))))
+        return out
 
     def check_health(self) -> None:
         """NaN watchdog (reference dfsph.py:645-647) — raises on divergence."""
