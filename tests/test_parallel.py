@@ -70,3 +70,38 @@ def test_sharded_full_step_runs(mesh8):
     for _ in range(3):
         out = step(out)
     assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_halo_pressure_solve_matches_single_device(mesh8):
+    """Full distributed solver loop: per-iteration halo exchange + psum error
+    must reproduce the single-device DFSPH pressure solve."""
+    from wcsph_tpu.grid import pack_liquid
+
+    sc, cfg = _scene_cfg()
+    cfg = halo.slab_config(cfg, 8)
+    pos = jnp.asarray(sc.positions.T)
+    nl = sc.n_liquid
+    grid = build_grid(pos, nl, cfg)
+    stats = dense_ops.density_stats(grid, cfg, True)
+
+    rng = np.random.default_rng(2)
+    vel = jnp.asarray(rng.normal(0, 0.3, (3, nl)).astype(np.float32))
+    velp = pack_liquid(grid, vel)
+    kp = pack_liquid(grid, jnp.zeros((nl,)))
+    dt = jnp.float32(1e-3)
+
+    single = dfsph.pressure_solve(grid, cfg, velp, kp, stats.alpha,
+                                  stats.rho, dt)
+    mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+    v_sh, k_sh, iters, err = halo.pressure_solve_sharded(
+        grid, cfg, velp, kp, stats.alpha, stats.rho, dt, mesh)
+
+    assert int(iters) == int(single.iters)
+    liq = np.asarray(grid.liquid)
+    np.testing.assert_allclose(np.asarray(v_sh)[:, liq],
+                               np.asarray(single.vel)[:, liq],
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_sh)[liq],
+                               np.asarray(single.kappa)[liq],
+                               rtol=2e-4, atol=1e-7)
+    assert abs(float(err) - float(single.err)) < 1e-5

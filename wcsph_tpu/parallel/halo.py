@@ -95,6 +95,84 @@ def _ext_cfg(cfg: SimConfig, n: int) -> SimConfig:
     return out
 
 
+def pressure_solve_sharded(grid: DenseGrid, cfg: SimConfig, velp, kp,
+                           alphap, rhop, dt, mesh: Mesh):
+    """DFSPH constant-density solver under x-slab decomposition.
+
+    The full distributed solver-loop pattern: each `lax.while_loop` iteration
+    exchanges one plane of halo (k and vel) over the ring, runs the unchanged
+    symmetric window ops on the extended slab, and reduces the density error
+    with a psum — the TPU equivalent of a multi-GPU SPH pressure solve.
+    Mirror (Newton) contributions that cross a slab boundary are recomputed
+    by the neighbor's halo-home rows, so the symmetric ops stay exact.
+
+    Returns (vel (3,C,NC), kappa (C,NC), iters, err), matching
+    solvers.dfsph.pressure_solve (without the optional warm start).
+    """
+    import jax.numpy as jnp  # noqa: F811 (local alias for clarity)
+
+    n = mesh.devices.size
+    gx, gy, gz = cfg.grid_res
+    assert gx % n == 0, "use slab_config() to pad the domain first"
+    plane = gy * gz
+    ecfg = _ext_cfg(cfg, n)
+
+    def ext(a, fill=0.0):
+        return _exchange_halo(a, plane, fill)
+
+    def interior(a):
+        return a[..., plane:-plane]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                       P(None, None, AXIS), P(None, None, AXIS),
+                       P(None, AXIS), P(None, AXIS), P(None, AXIS)),
+             out_specs=(P(None, None, AXIS), P(None, AXIS), P(), P()),
+             check_vma=False)
+    def go(pid, valid, liquid, xp, vel, k, alpha, rho):
+        slab = DenseGrid(pid=pid, valid=valid, liquid=liquid, xp=xp,
+                         slot=jnp.zeros((1,), jnp.int32),
+                         overflow=jnp.int32(0))
+        egrid = _local_grid(slab, cfg, n)
+        rho_e = ext(rho, 1.0)
+        alpha_dt2 = alpha / (dt * dt)              # local interior
+        n_liq = jax.lax.psum(jnp.sum(liquid), AXIS).astype(jnp.float32)
+
+        from .. import dense_ops
+
+        def adv_of(vel_loc):
+            adv_e = dense_ops.advected_density(egrid, ecfg, ext(vel_loc),
+                                               rho_e, dt)
+            return interior(adv_e)
+
+        adv0 = adv_of(vel)
+
+        def body(carry):
+            vel, kp_, adv, err, it = carry
+            kk = (adv - 1.0) * alpha_dt2
+            kp_ = kp_ + kk
+            vel_new_e = dense_ops.kappa_velocity_update(
+                egrid, ecfg, ext(vel), ext(kk), dt)
+            vel = interior(vel_new_e)
+            adv = adv_of(vel)
+            err_loc = jnp.sum(jnp.where(liquid, adv - 1.0, 0.0))
+            err = jax.lax.psum(err_loc, AXIS) / n_liq
+            return vel, kp_, adv, err, it + 1
+
+        def cond(carry):
+            *_, err, it = carry
+            return ((err > cfg.dfsph_tol) | (it < cfg.dfsph_min_iters)) \
+                & (it < cfg.dfsph_max_iters)
+
+        vel, k, adv, err, iters = jax.lax.while_loop(
+            cond, body, (vel, jnp.zeros_like(k), adv0, jnp.float32(0.0),
+                         jnp.int32(0)))
+        return vel, k * dt * dt, iters, err
+
+    return go(grid.pid, grid.valid, grid.liquid, grid.xp,
+              velp, kp, alphap, rhop)
+
+
 def density_sharded(grid: DenseGrid, cfg: SimConfig, mesh: Mesh):
     """Packed density over an x-slab decomposition of the cell grid.
 
