@@ -84,9 +84,13 @@ def build_grid(pos: jnp.ndarray, n_liquid: int, cfg: SimConfig) -> DenseGrid:
 
     order = jnp.argsort(cell_id)
     sorted_cell = cell_id[order]
-    starts = jnp.searchsorted(sorted_cell, jnp.arange(nc + 1, dtype=cell_id.dtype))
-    rank = (jnp.arange(n, dtype=jnp.int32)
-            - starts[jnp.minimum(sorted_cell, nc)].astype(jnp.int32))
+    # rank within the equal-key run via cummax of run starts (cheaper than a
+    # searchsorted over num_cells keys)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.ones((1,), bool),
+                              sorted_cell[1:] != sorted_cell[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, iota, 0))
+    rank = iota - run_start
 
     pid = jnp.full((cap, nc), -1, jnp.int32)
     write_col = jnp.where(sorted_cell < nc, sorted_cell, nc + 1)
@@ -104,8 +108,7 @@ def build_grid(pos: jnp.ndarray, n_liquid: int, cfg: SimConfig) -> DenseGrid:
     slot_all = slot_all.at[order].set(jnp.where(ok, flat_slot, -1))
     slot = slot_all[:n_liquid]
 
-    counts = jnp.diff(jnp.concatenate([starts, jnp.asarray([n], starts.dtype)]))[:nc]
-    overflow = jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
+    overflow = jnp.sum((rank >= cap) & (sorted_cell < nc)).astype(jnp.int32)
     return DenseGrid(pid=pid, valid=valid, liquid=liquid, xp=xp,
                      slot=slot, overflow=overflow)
 
