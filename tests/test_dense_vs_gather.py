@@ -116,8 +116,10 @@ def test_viscosity_solve_match(setup):
     sol_g = viscosity.solve(pairs, vel, guess, rho, dt, cfg, nl)
     stats = dense_ops.density_stats(grid, cfg, False)
     velp = pack_liquid(grid, vel)
-    sol_d = viscosity.solve_dense(grid, cfg, velp, jnp.zeros_like(velp),
-                                  stats.rho, dt)
+    from wcsph_tpu.parallel.comm import NoComm
+
+    sol_d = viscosity.solve_dense(NoComm(grid, cfg), velp,
+                                  jnp.zeros_like(velp), stats.rho, dt)
     v_g = np.asarray(sol_g.vel_new)
     v_d = unpk(grid, sol_d.vel_new, nl)
     assert int(sol_d.iters) >= 1

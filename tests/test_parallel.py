@@ -90,7 +90,9 @@ def test_halo_pressure_solve_matches_single_device(mesh8):
     kp = pack_liquid(grid, jnp.zeros((nl,)))
     dt = jnp.float32(1e-3)
 
-    single = dfsph.pressure_solve(grid, cfg, velp, kp, stats.alpha,
+    from wcsph_tpu.parallel.comm import NoComm
+
+    single = dfsph.pressure_solve(NoComm(grid, cfg), velp, kp, stats.alpha,
                                   stats.rho, dt)
     mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
     v_sh, k_sh, iters, err = halo.pressure_solve_sharded(
@@ -105,3 +107,28 @@ def test_halo_pressure_solve_matches_single_device(mesh8):
                                np.asarray(single.kappa)[liq],
                                rtol=2e-4, atol=1e-7)
     assert abs(float(err) - float(single.err)) < 1e-5
+
+
+def test_full_dfsph_step_sharded_matches_single(mesh8):
+    """The COMPLETE DFSPH step under slab decomposition must reproduce the
+    single-device step (same trajectories, iteration counts, dt)."""
+    from wcsph_tpu.state import init_state
+
+    sc, cfg = _scene_cfg()
+    cfg = halo.slab_config(cfg, 8)
+    state = init_state(sc, cfg)
+    mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+
+    s_single = state
+    s_shard = state
+    for _ in range(3):
+        s_single = jax.jit(lambda s: dfsph.step(s, cfg))(s_single)
+        s_shard = jax.jit(
+            lambda s: halo.dfsph_step_sharded(s, cfg, mesh))(s_shard)
+    np.testing.assert_allclose(np.asarray(s_shard.pos),
+                               np.asarray(s_single.pos), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_shard.vel),
+                               np.asarray(s_single.vel), rtol=2e-3, atol=1e-5)
+    assert abs(float(s_shard.dt) - float(s_single.dt)) < 1e-7
+    assert int(s_shard.diag.pressure_iters) == int(s_single.diag.pressure_iters)
+    assert int(s_shard.diag.divergence_iters) == int(s_single.diag.divergence_iters)

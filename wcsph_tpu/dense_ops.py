@@ -586,6 +586,13 @@ def vorticity(grid, cfg, velp, omegap, rhop, dt):
     return dv, omegap + dom * dt
 
 
+def vorticity_comm(comm, velp, omegap, rhop, dt):
+    """Comm-parameterized vorticity (single-device or slab-sharded)."""
+    dv, om = vorticity(comm.grid, comm.cfg, comm.lift(velp),
+                       comm.lift(omegap), comm.lift(rhop, 1.0), dt)
+    return comm.lower(dv), comm.lower(om)
+
+
 # ---------------------------------------------------------------------------
 # Debug color field (ParticleData.compute_color_map, ParticleData.py:187-215)
 # ---------------------------------------------------------------------------

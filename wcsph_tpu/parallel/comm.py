@@ -1,0 +1,90 @@
+"""Communicator abstraction: the same solver code runs single-device or
+slab-sharded.
+
+Solvers call ops through a comm object:
+  * ``comm.grid`` / ``comm.cfg`` — the grid the window ops run on (the global
+    grid single-device; the halo-extended local slab under shard_map);
+  * ``comm.lift(q)`` — make a packed quantity visible to the window ops
+    (identity / one-plane ppermute halo exchange);
+  * ``comm.lower(q)`` — back to owned cells (identity / drop halo columns);
+  * ``comm.lsum/lmax`` — reductions over owned liquid slots (plain / psum).
+
+Mirror (Newton) contributions that cross a slab boundary are not lost: the
+neighbor device recomputes them through its halo-home rows, so the symmetric
+window ops (dense_ops.scan_sym) stay exact under decomposition — verified in
+tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+AXIS = "x"
+
+
+class NoComm:
+    """Single-device: ops see the global grid directly."""
+
+    def __init__(self, grid, cfg):
+        self.grid = grid
+        self.cfg = cfg
+        self._liq = grid.liquid
+
+    def lift(self, q, fill=0.0):
+        return q
+
+    def lower(self, q):
+        return q
+
+    def lsum(self, x):
+        return jnp.sum(jnp.where(self._liq, x, 0.0))
+
+    def lmax(self, x):
+        return jnp.max(jnp.where(self._liq, x, -jnp.inf))
+
+    def n_liquid(self):
+        return jnp.sum(self._liq).astype(jnp.float32)
+
+
+def exchange_halo(arr: jnp.ndarray, plane: int, fill, axis: str = AXIS):
+    """Append one x-plane of halo (gy*gz cells) from each ring neighbor over
+    the mesh axis.  arr: (..., NC_local) -> (..., NC_local + 2*plane)."""
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    right = [(i, (i + 1) % n) for i in range(n)]
+    left = [(i, (i - 1) % n) for i in range(n)]
+    left_halo = jax.lax.ppermute(arr[..., -plane:], axis, right)
+    right_halo = jax.lax.ppermute(arr[..., :plane], axis, left)
+    blank = jnp.full(arr.shape[:-1] + (plane,), fill, arr.dtype)
+    left_halo = jnp.where(idx == 0, blank, left_halo)
+    right_halo = jnp.where(idx == n - 1, blank, right_halo)
+    return jnp.concatenate([left_halo, arr, right_halo], axis=-1)
+
+
+class SlabComm:
+    """Inside shard_map over x-slabs: ops run on the halo-extended slab."""
+
+    def __init__(self, slab_grid, ext_grid, ext_cfg, plane: int,
+                 axis: str = AXIS):
+        self.grid = ext_grid
+        self.cfg = ext_cfg
+        self._liq = slab_grid.liquid
+        self._plane = plane
+        self._axis = axis
+
+    def lift(self, q, fill=0.0):
+        return exchange_halo(q, self._plane, fill, self._axis)
+
+    def lower(self, q):
+        return q[..., self._plane:-self._plane]
+
+    def lsum(self, x):
+        return jax.lax.psum(jnp.sum(jnp.where(self._liq, x, 0.0)), self._axis)
+
+    def lmax(self, x):
+        return jax.lax.pmax(
+            jnp.max(jnp.where(self._liq, x, -jnp.inf)), self._axis)
+
+    def n_liquid(self):
+        return jax.lax.psum(jnp.sum(self._liq), self._axis).astype(jnp.float32)

@@ -8,36 +8,35 @@ every neighbor access in the dense engine is a shift of at most one x-plane
 fringe), each device only needs a ONE-PLANE halo from each neighbor:
 
   1. ppermute the boundary x-plane of every packed array to the adjacent
-     devices (bidirectional ring over ICI);
-  2. run the unchanged WindowLoop sweeps on the locally extended slab
-     (local grid gx/n + 2 halo planes), with the in-box masks offset by the
-     slab's global x position;
-  3. drop the halo columns from the outputs; psum global reductions
-     (solver errors, CFL max).
+     devices (bidirectional ring over ICI) — comm.SlabComm.lift;
+  2. run the unchanged dense_ops sweeps on the locally extended slab;
+  3. drop the halo columns (comm.lower); psum the solver-loop reductions.
 
-``density_sharded`` demonstrates the full pattern end-to-end and is verified
-against the single-device result on an 8-virtual-device CPU mesh
-(tests/test_parallel.py).  The same wrapper generalizes to every sweep in
-dense_ops because they share the WindowLoop contract.
+Newton-mirror contributions that cross a slab boundary are recomputed by the
+neighbor's halo-home rows, so the symmetric window ops stay exact.  The full
+DFSPH step middle (divergence solver, viscosity PCG, vorticity, CFL,
+pressure solver) runs under this decomposition via the communicator
+abstraction (solvers/dfsph.py step_middle) and is verified against the
+single-device step on an 8-virtual-device CPU mesh (tests/test_parallel.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import dense_ops
 from ..config import SimConfig
-from ..grid import DenseGrid
-
-AXIS = "x"
+from ..grid import DenseGrid, build_grid, pack_liquid, unpack_liquid
+from ..state import FluidState, StepDiagnostics
+from . import comm as comm_mod
+from .comm import AXIS, SlabComm, exchange_halo
 
 
 def slab_config(cfg: SimConfig, n_devices: int) -> SimConfig:
@@ -53,41 +52,10 @@ def slab_config(cfg: SimConfig, n_devices: int) -> SimConfig:
     return out
 
 
-def _exchange_halo(arr: jnp.ndarray, plane: int, fill) -> jnp.ndarray:
-    """Append one x-plane of halo (gy*gz cells) from each ring neighbor.
-
-    arr: (..., NC_local); returns (..., NC_local + 2*plane).
-    """
-    n = jax.lax.axis_size(AXIS)
-    idx = jax.lax.axis_index(AXIS)
-    right = [(i, (i + 1) % n) for i in range(n)]
-    left = [(i, (i - 1) % n) for i in range(n)]
-    # send my last plane to the right neighbor -> it becomes their left halo
-    left_halo = jax.lax.ppermute(arr[..., -plane:], AXIS, right)
-    right_halo = jax.lax.ppermute(arr[..., :plane], AXIS, left)
-    blank = jnp.full(arr.shape[:-1] + (plane,), fill, arr.dtype)
-    left_halo = jnp.where(idx == 0, blank, left_halo)
-    right_halo = jnp.where(idx == n - 1, blank, right_halo)
-    return jnp.concatenate([left_halo, arr, right_halo], axis=-1)
-
-
-def _local_grid(grid_slab: DenseGrid, cfg: SimConfig, n: int) -> DenseGrid:
-    """Halo-extend a slab-local DenseGrid (pid/valid/liquid/xp only)."""
-    gx, gy, gz = cfg.grid_res
-    plane = gy * gz
-    return grid_slab._replace(
-        pid=_exchange_halo(grid_slab.pid, plane, -1),
-        valid=_exchange_halo(grid_slab.valid, plane, False),
-        liquid=_exchange_halo(grid_slab.liquid, plane, False),
-        xp=_exchange_halo(grid_slab.xp, plane, 1e9),
-    )
-
-
 def _ext_cfg(cfg: SimConfig, n: int) -> SimConfig:
     """Config describing the halo-extended local grid (gx/n + 2 planes)."""
     gx, gy, gz = cfg.grid_res
     gx_loc = gx // n + 2
-    # domain bounds chosen so grid_res reproduces (gx_loc, gy, gz)
     new_max = (cfg.domain_min[0] + (gx_loc - 0.5) * cfg.cell_size,
                cfg.domain_max[1], cfg.domain_max[2])
     out = dataclasses.replace(cfg, domain_max=new_max)
@@ -95,33 +63,49 @@ def _ext_cfg(cfg: SimConfig, n: int) -> SimConfig:
     return out
 
 
+def _make_slab_comm(pid, valid, liquid, xp, cfg: SimConfig, n: int) -> SlabComm:
+    """Build the communicator for one slab inside shard_map: halo-extend the
+    static grid arrays once, keep the local liquid mask for reductions."""
+    gx, gy, gz = cfg.grid_res
+    plane = gy * gz
+    slab = DenseGrid(pid=pid, valid=valid, liquid=liquid, xp=xp,
+                     slot=jnp.zeros((1,), jnp.int32), overflow=jnp.int32(0))
+    egrid = slab._replace(
+        pid=exchange_halo(pid, plane, -1),
+        valid=exchange_halo(valid, plane, False),
+        liquid=exchange_halo(liquid, plane, False),
+        xp=exchange_halo(xp, plane, 1e9),
+    )
+    return SlabComm(slab, egrid, _ext_cfg(cfg, n), plane)
+
+
+def density_sharded(grid: DenseGrid, cfg: SimConfig, mesh: Mesh):
+    """Packed density over an x-slab decomposition (the minimal demo of the
+    halo pattern).  Returns (C, NC) densities sharded on the cell axis."""
+    n = mesh.devices.size
+    assert cfg.grid_res[0] % n == 0, "use slab_config() to pad the domain"
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                       P(None, None, AXIS)),
+             out_specs=P(None, AXIS), check_vma=False)
+    def go(pid, valid, liquid, xp):
+        comm = _make_slab_comm(pid, valid, liquid, xp, cfg, n)
+        return comm.lower(
+            dense_ops.density_stats(comm.grid, comm.cfg, False).rho)
+
+    return go(grid.pid, grid.valid, grid.liquid, grid.xp)
+
+
 def pressure_solve_sharded(grid: DenseGrid, cfg: SimConfig, velp, kp,
                            alphap, rhop, dt, mesh: Mesh):
-    """DFSPH constant-density solver under x-slab decomposition.
-
-    The full distributed solver-loop pattern: each `lax.while_loop` iteration
-    exchanges one plane of halo (k and vel) over the ring, runs the unchanged
-    symmetric window ops on the extended slab, and reduces the density error
-    with a psum — the TPU equivalent of a multi-GPU SPH pressure solve.
-    Mirror (Newton) contributions that cross a slab boundary are recomputed
-    by the neighbor's halo-home rows, so the symmetric ops stay exact.
-
-    Returns (vel (3,C,NC), kappa (C,NC), iters, err), matching
-    solvers.dfsph.pressure_solve (without the optional warm start).
-    """
-    import jax.numpy as jnp  # noqa: F811 (local alias for clarity)
+    """DFSPH constant-density solver under slab decomposition: the generic
+    solver (solvers/dfsph.py pressure_solve) driven by a SlabComm — one halo
+    exchange per window op, psum'd density error per iteration."""
+    from ..solvers import dfsph
 
     n = mesh.devices.size
-    gx, gy, gz = cfg.grid_res
-    assert gx % n == 0, "use slab_config() to pad the domain first"
-    plane = gy * gz
-    ecfg = _ext_cfg(cfg, n)
-
-    def ext(a, fill=0.0):
-        return _exchange_halo(a, plane, fill)
-
-    def interior(a):
-        return a[..., plane:-plane]
+    assert cfg.grid_res[0] % n == 0, "use slab_config() to pad the domain"
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
@@ -130,79 +114,67 @@ def pressure_solve_sharded(grid: DenseGrid, cfg: SimConfig, velp, kp,
              out_specs=(P(None, None, AXIS), P(None, AXIS), P(), P()),
              check_vma=False)
     def go(pid, valid, liquid, xp, vel, k, alpha, rho):
-        slab = DenseGrid(pid=pid, valid=valid, liquid=liquid, xp=xp,
-                         slot=jnp.zeros((1,), jnp.int32),
-                         overflow=jnp.int32(0))
-        egrid = _local_grid(slab, cfg, n)
-        rho_e = ext(rho, 1.0)
-        alpha_dt2 = alpha / (dt * dt)              # local interior
-        n_liq = jax.lax.psum(jnp.sum(liquid), AXIS).astype(jnp.float32)
-
-        from .. import dense_ops
-
-        def adv_of(vel_loc):
-            adv_e = dense_ops.advected_density(egrid, ecfg, ext(vel_loc),
-                                               rho_e, dt)
-            return interior(adv_e)
-
-        adv0 = adv_of(vel)
-
-        def body(carry):
-            vel, kp_, adv, err, it = carry
-            kk = (adv - 1.0) * alpha_dt2
-            kp_ = kp_ + kk
-            vel_new_e = dense_ops.kappa_velocity_update(
-                egrid, ecfg, ext(vel), ext(kk), dt)
-            vel = interior(vel_new_e)
-            adv = adv_of(vel)
-            err_loc = jnp.sum(jnp.where(liquid, adv - 1.0, 0.0))
-            err = jax.lax.psum(err_loc, AXIS) / n_liq
-            return vel, kp_, adv, err, it + 1
-
-        def cond(carry):
-            *_, err, it = carry
-            return ((err > cfg.dfsph_tol) | (it < cfg.dfsph_min_iters)) \
-                & (it < cfg.dfsph_max_iters)
-
-        vel, k, adv, err, iters = jax.lax.while_loop(
-            cond, body, (vel, jnp.zeros_like(k), adv0, jnp.float32(0.0),
-                         jnp.int32(0)))
-        return vel, k * dt * dt, iters, err
+        comm = _make_slab_comm(pid, valid, liquid, xp, cfg, n)
+        res = dfsph.pressure_solve(comm, vel, k, alpha, rho, dt)
+        return res.vel, res.kappa, res.iters, res.err
 
     return go(grid.pid, grid.valid, grid.liquid, grid.xp,
               velp, kp, alphap, rhop)
 
 
-def density_sharded(grid: DenseGrid, cfg: SimConfig, mesh: Mesh):
-    """Packed density over an x-slab decomposition of the cell grid.
+def dfsph_step_sharded(state: FluidState, cfg: SimConfig, mesh: Mesh) -> FluidState:
+    """Full DFSPH step with the solve phases under slab decomposition.
 
-    grid: a full (replicated-input) DenseGrid; arrays are scattered to slabs
-    by shard_map's in_specs, halo-exchanged, and the unchanged dense_ops
-    density sweep runs on each extended slab.  Returns (C, NC) densities
-    sharded over the cell axis.
+    The grid build / pack / unpack run as ordinary (globally sharded) jit
+    ops; the window-sweep middle — density+alpha, divergence solver,
+    viscosity PCG, vorticity, CFL, pressure solver — runs inside ONE
+    shard_map with per-op halo exchanges and psum reductions.
     """
+    from ..solvers import dfsph
+
     n = mesh.devices.size
-    gx, gy, gz = cfg.grid_res
-    assert gx % n == 0, "use slab_config() to pad the domain first"
-    plane = gy * gz
-    ecfg = _ext_cfg(cfg, n)
+    assert cfg.grid_res[0] % n == 0, "use slab_config() to pad the domain"
+    nl = state.n_liquid
+    grid = build_grid(state.pos, nl, cfg)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
-                       P(None, None, AXIS)),
-             out_specs=P(None, AXIS),
+                       P(None, None, AXIS),
+                       P(None, None, AXIS), P(None, None, AXIS),
+                       P(None, None, AXIS), P(None, AXIS), P(None, AXIS),
+                       P(), P()),
+             out_specs=(P(None, None, AXIS), P(None, None, AXIS),
+                        P(None, None, AXIS), P(None, AXIS), P(None, AXIS),
+                        P(), P(), P(), P(), P(), P()),
              check_vma=False)
-    def go(pid, valid, liquid, xp):
-        slab = DenseGrid(pid=pid, valid=valid, liquid=liquid, xp=xp,
-                         slot=jnp.zeros((1,), jnp.int32),
-                         overflow=jnp.int32(0))
-        ext = _local_grid(slab, cfg, n)
-        # the extended slab has its own "edge" planes which are REAL interior
-        # planes globally — only the true domain ends must mask as walls.
-        # Halo planes beyond the physical domain carry EMPTY cells (fill),
-        # so the in-box x test on the extended grid is safe: halo columns of
-        # the global edge devices hold no particles.
-        rho = dense_ops.density_stats(ext, ecfg, with_alpha=False).rho
-        return rho[:, plane:-plane]
+    def middle(pid, valid, liquid, xp, velp, omegap, vgp, kp, kvp, dt, last_pr):
+        comm = _make_slab_comm(pid, valid, liquid, xp, cfg, n)
+        m = dfsph.step_middle(comm, cfg, velp, omegap, vgp, kp, kvp, dt,
+                              last_pr)
+        return (m.vel, m.omega, m.vel_guess, m.kappa, m.kappa_v, m.new_dt,
+                m.div_iters, m.pr_iters, m.visc_iters, m.err, m.vmax_sq)
 
-    return go(grid.pid, grid.valid, grid.liquid, grid.xp)
+    (velp, omegap, vgp, kpo, kvpo, new_dt, dv_it, pr_it, vs_it, err,
+     vmax_sq) = middle(
+        grid.pid, grid.valid, grid.liquid, grid.xp,
+        pack_liquid(grid, state.vel), pack_liquid(grid, state.omega),
+        pack_liquid(grid, state.vel_guess), pack_liquid(grid, state.kappa),
+        pack_liquid(grid, state.kappa_v), state.dt,
+        state.last_pressure_iters)
+
+    vel = unpack_liquid(grid, velp, state.vel)
+    pos = state.pos.at[:, :nl].add(vel * new_dt)
+    diag = StepDiagnostics(
+        divergence_iters=dv_it, pressure_iters=pr_it, viscosity_iters=vs_it,
+        density_error=err, neighbor_overflow=grid.overflow,
+        vel_max=jnp.sqrt(vmax_sq),
+    )
+    return state.replace(
+        pos=pos, vel=vel,
+        omega=unpack_liquid(grid, omegap, state.omega),
+        vel_guess=unpack_liquid(grid, vgp, state.vel_guess),
+        kappa=unpack_liquid(grid, kpo, state.kappa),
+        kappa_v=unpack_liquid(grid, kvpo, state.kappa_v),
+        dt=new_dt, time=state.time + new_dt,
+        last_visc_iters=vs_it, last_pressure_iters=pr_it, diag=diag,
+    )

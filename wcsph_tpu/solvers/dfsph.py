@@ -13,11 +13,16 @@ The reference's host-driven convergence loops with per-iteration
 ``.to_numpy()`` reads (dfsph.py:131-164) become ``lax.while_loop``s with
 on-device error reductions; warm-start fields (kappa, kappa_v, vel_guess)
 live in the state pytree.
+
+All solver phases are written against the communicator abstraction
+(parallel/comm.py): the SAME functions run single-device (NoComm) or under
+an x-slab domain decomposition with per-iteration halo exchange and psum
+error reductions (SlabComm, see parallel/halo.py).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +30,7 @@ import jax.numpy as jnp
 from .. import dense_ops, viscosity
 from ..config import SimConfig
 from ..grid import DenseGrid, build_grid, pack_liquid, unpack_liquid
+from ..parallel.comm import NoComm
 from ..state import FluidState, StepDiagnostics
 
 
@@ -44,38 +50,47 @@ def default_config(**overrides) -> SimConfig:
 
 
 class _SolveResult(NamedTuple):
-    vel: jnp.ndarray      # packed (3, C, NC)
-    kappa: jnp.ndarray    # packed (C, NC)
+    vel: jnp.ndarray      # packed (3, C, NC_local)
+    kappa: jnp.ndarray    # packed (C, NC_local)
     iters: jnp.ndarray
     err: jnp.ndarray
 
 
-def divergence_solve(grid: DenseGrid, cfg: SimConfig, velp, kvp, alphap, cntp,
-                     dt) -> _SolveResult:
-    """Divergence-free velocity solver (dfsph.py:131-146, 415-485)."""
+def divergence_solve(comm, velp, kvp, alphap, cntp, dt) -> _SolveResult:
+    """Divergence-free velocity solver (dfsph.py:131-146, 415-485).
+    All array args are in the comm's OWNED (local) layout."""
+    cfg = comm.cfg
     rho0 = cfg.rest_density
+    cnt_l = comm.lift(cntp, 0)
+
+    def drho_of(velp):
+        return comm.lower(dense_ops.drho_divergence(
+            comm.grid, cfg, comm.lift(velp), cnt_l))
+
+    def kappa_update(velp, k):
+        return comm.lower(dense_ops.kappa_velocity_update(
+            comm.grid, cfg, comm.lift(velp), comm.lift(k), dt))
 
     if cfg.divergence_warm_start:
         # warmstart_divergence_vel (dfsph.py:415-439)
         k_ws = 0.5 * jnp.maximum(kvp / dt, -0.5 * rho0 * rho0)
-        drho_ws = dense_ops.drho_divergence(grid, cfg, velp, cntp)
-        vel_ws = dense_ops.kappa_velocity_update(grid, cfg, velp, k_ws, dt)
+        drho_ws = drho_of(velp)
+        vel_ws = kappa_update(velp, k_ws)
         velp = jnp.where((drho_ws > 0.0)[None], vel_ws, velp)
 
     # begin_divergence_iter (dfsph.py:441-447)
     alpha_dt = alphap / dt
-    drho = dense_ops.drho_divergence(grid, cfg, velp, cntp)
+    drho = drho_of(velp)
     kvp = jnp.zeros_like(kvp)
-    n_liq = jnp.sum(grid.liquid).astype(jnp.float32)
-    threshold = cfg.dfsph_div_tol * n_liq / dt
+    threshold = cfg.dfsph_div_tol * comm.n_liquid() / dt
 
     def body(carry):
         velp, kvp, drho, err, it = carry
         k = drho * alpha_dt
         kvp = kvp + k
-        velp = dense_ops.kappa_velocity_update(grid, cfg, velp, k, dt)
-        drho = dense_ops.drho_divergence(grid, cfg, velp, cntp)
-        err = dense_ops.liquid_sum(grid, drho)
+        velp = kappa_update(velp, k)
+        drho = drho_of(velp)
+        err = comm.lsum(drho)
         return velp, kvp, drho, err, it + 1
 
     def cond(carry):
@@ -88,33 +103,42 @@ def divergence_solve(grid: DenseGrid, cfg: SimConfig, velp, kvp, alphap, cntp,
     return _SolveResult(vel=velp, kappa=kvp * dt, iters=iters, err=err)
 
 
-def pressure_solve(grid: DenseGrid, cfg: SimConfig, velp, kp, alphap, rhop,
-                   dt) -> _SolveResult:
+def pressure_solve(comm, velp, kp, alphap, rhop, dt) -> _SolveResult:
     """Constant-density solver (dfsph.py:150-164, 487-552)."""
+    cfg = comm.cfg
     rho0 = cfg.rest_density
+    rho_l = comm.lift(rhop, 1.0)
+
+    def adv_of(velp):
+        return comm.lower(dense_ops.advected_density(
+            comm.grid, cfg, comm.lift(velp), rho_l, dt))
+
+    def kappa_update(velp, k):
+        return comm.lower(dense_ops.kappa_velocity_update(
+            comm.grid, cfg, comm.lift(velp), comm.lift(k), dt))
 
     if cfg.pressure_warm_start:
         # Intended SPlisHSPlasH warm start.  The reference's version is inert:
         # it gates on adv_rho > rho_L0 with adv_rho already normalized to ~1
         # (dfsph.py:491) and zeroes kappa before use (dfsph.py:515).
         k_ws = jnp.maximum(kp / (dt * dt), -0.5 * rho0 * rho0)
-        adv_ws = dense_ops.advected_density(grid, cfg, velp, rhop, dt)
-        vel_ws = dense_ops.kappa_velocity_update(grid, cfg, velp, k_ws, dt)
+        adv_ws = adv_of(velp)
+        vel_ws = kappa_update(velp, k_ws)
         velp = jnp.where((adv_ws > 1.0)[None], vel_ws, velp)
 
     # begin_pressure_iter (dfsph.py:510-516)
     alpha_dt2 = alphap / (dt * dt)
-    adv = dense_ops.advected_density(grid, cfg, velp, rhop, dt)
+    adv = adv_of(velp)
     kp = jnp.zeros_like(kp)
-    n_liq = jnp.sum(grid.liquid).astype(jnp.float32)
+    n_liq = comm.n_liquid()
 
     def body(carry):
         velp, kp, adv, err, it = carry
         k = (adv - 1.0) * alpha_dt2
         kp = kp + k
-        velp = dense_ops.kappa_velocity_update(grid, cfg, velp, k, dt)
-        adv = dense_ops.advected_density(grid, cfg, velp, rhop, dt)
-        err = dense_ops.liquid_sum(grid, adv - 1.0) / n_liq
+        velp = kappa_update(velp, k)
+        adv = adv_of(velp)
+        err = comm.lsum(adv - 1.0) / n_liq
         return velp, kp, adv, err, it + 1
 
     def cond(carry):
@@ -128,44 +152,55 @@ def pressure_solve(grid: DenseGrid, cfg: SimConfig, velp, kp, alphap, rhop,
     return _SolveResult(vel=velp, kappa=kp * dt * dt, iters=iters, err=err)
 
 
-def step(state: FluidState, cfg: SimConfig) -> FluidState:
-    nl = state.n_liquid
-    dt = state.dt
-    grid = build_grid(state.pos, nl, cfg)
+class MidResult(NamedTuple):
+    """Everything the packed middle of the step produces (local layout)."""
 
-    stats = dense_ops.density_stats(grid, cfg, with_alpha=True)
-    rhop, alphap, cntp = stats.rho, stats.alpha, stats.count
+    vel: jnp.ndarray
+    omega: jnp.ndarray
+    vel_guess: jnp.ndarray
+    kappa: jnp.ndarray
+    kappa_v: jnp.ndarray
+    new_dt: jnp.ndarray
+    div_iters: jnp.ndarray
+    pr_iters: jnp.ndarray
+    visc_iters: jnp.ndarray
+    err: jnp.ndarray
+    vmax_sq: jnp.ndarray
 
-    velp = pack_liquid(grid, state.vel)
-    kvp = pack_liquid(grid, state.kappa_v)
-    div = divergence_solve(grid, cfg, velp, kvp, alphap, cntp, dt)
+
+def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
+                last_pressure_iters) -> MidResult:
+    """The whole per-step solve in packed space, comm-parameterized
+    (everything between sort/pack and unpack/position-update)."""
+    stats = dense_ops.density_stats(comm.grid, comm.cfg, with_alpha=True)
+    rhop = comm.lower(stats.rho)
+    alphap = comm.lower(stats.alpha)
+    cntp = comm.lower(stats.count)
+
+    div = divergence_solve(comm, velp, kvp, alphap, cntp, dt)
     velp = div.vel
 
     # --- non-pressure forces (dfsph.py:84-103) ---
     gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
     d_vel = jnp.broadcast_to(gvec, velp.shape)
     if cfg.tension_coff != 0.0 or cfg.tension_coff_b != 0.0:
-        normalp = dense_ops.surface_normals(grid, cfg, rhop)
-        d_vel = d_vel + dense_ops.tension_accel(grid, cfg, rhop, normalp)
-    vgp = pack_liquid(grid, state.vel_guess)
-    visc = viscosity.solve_dense(grid, cfg, velp, vgp, rhop, dt)
+        rho_l = comm.lift(rhop, 1.0)
+        normalp = comm.lower(dense_ops.surface_normals(comm.grid, comm.cfg,
+                                                       rho_l))
+        d_vel = d_vel + comm.lower(dense_ops.tension_accel(
+            comm.grid, comm.cfg, rho_l, comm.lift(normalp)))
+    visc = viscosity.solve_dense(comm, velp, vgp, rhop, dt)
     d_vel = d_vel + (visc.vel_new - velp) / dt          # end_viscosity
     if cfg.enable_vorticity:
-        omegap = pack_liquid(grid, state.omega)
-        dv_vort, omegap = dense_ops.vorticity(grid, cfg, velp, omegap,
-                                              rhop, dt)
+        dv_vort, omegap = dense_ops.vorticity_comm(comm, velp, omegap, rhop, dt)
         d_vel = d_vel + dv_vort
-        omega = unpack_liquid(grid, omegap, state.omega)
-    else:
-        omega = state.omega
 
     # --- adaptive dt (dfsph.py:107-129): CFL from old dt, iteration feedback
     # from this frame's viscosity iters and LAST frame's pressure iters ---
     vnew = velp + d_vel * dt
-    vmax_sq = jnp.maximum(
-        dense_ops.liquid_max(grid, jnp.sum(vnew * vnew, axis=0)), 0.1)
+    vmax_sq = jnp.maximum(comm.lmax(jnp.sum(vnew * vnew, axis=0)), 0.1)
     if cfg.adaptive_dt:
-        feedback = jnp.maximum(visc.iters, state.last_pressure_iters)
+        feedback = jnp.maximum(visc.iters, last_pressure_iters)
         time_step = jnp.clip(
             cfg.cfl_factor * 0.4 * 2.0 * cfg.particle_radius / jnp.sqrt(vmax_sq),
             cfg.dt_min, cfg.dt_max)
@@ -177,32 +212,50 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
 
     velp = velp + d_vel * new_dt                        # update_vel
 
-    kp = pack_liquid(grid, state.kappa)
-    pr = pressure_solve(grid, cfg, velp, kp, alphap, rhop, new_dt)
-    velp = pr.vel
+    pr = pressure_solve(comm, velp, kp, alphap, rhop, new_dt)
+
+    return MidResult(vel=pr.vel, omega=omegap, vel_guess=visc.delta_v,
+                     kappa=pr.kappa, kappa_v=div.kappa, new_dt=new_dt,
+                     div_iters=div.iters, pr_iters=pr.iters,
+                     visc_iters=visc.iters, err=pr.err, vmax_sq=vmax_sq)
+
+
+def step(state: FluidState, cfg: SimConfig) -> FluidState:
+    nl = state.n_liquid
+    grid = build_grid(state.pos, nl, cfg)
+    comm = NoComm(grid, cfg)
+
+    mid = step_middle(
+        comm, cfg,
+        pack_liquid(grid, state.vel),
+        pack_liquid(grid, state.omega),
+        pack_liquid(grid, state.vel_guess),
+        pack_liquid(grid, state.kappa),
+        pack_liquid(grid, state.kappa_v),
+        state.dt, state.last_pressure_iters)
 
     # --- unpack + position update (dropped/overflow particles keep state) ---
-    vel = unpack_liquid(grid, velp, state.vel)
-    pos = state.pos.at[:, :nl].add(vel * new_dt)        # update_pos
+    vel = unpack_liquid(grid, mid.vel, state.vel)
+    pos = state.pos.at[:, :nl].add(vel * mid.new_dt)    # update_pos
 
     diag = StepDiagnostics(
-        divergence_iters=div.iters,
-        pressure_iters=pr.iters,
-        viscosity_iters=visc.iters,
-        density_error=pr.err,
+        divergence_iters=mid.div_iters,
+        pressure_iters=mid.pr_iters,
+        viscosity_iters=mid.visc_iters,
+        density_error=mid.err,
         neighbor_overflow=grid.overflow,
-        vel_max=jnp.sqrt(vmax_sq),
+        vel_max=jnp.sqrt(mid.vmax_sq),
     )
     return state.replace(
         pos=pos,
         vel=vel,
-        omega=omega,
-        vel_guess=unpack_liquid(grid, visc.delta_v, state.vel_guess),
-        kappa=unpack_liquid(grid, pr.kappa, state.kappa),
-        kappa_v=unpack_liquid(grid, div.kappa, state.kappa_v),
-        dt=new_dt,
-        time=state.time + new_dt,
-        last_visc_iters=visc.iters,
-        last_pressure_iters=pr.iters,
+        omega=unpack_liquid(grid, mid.omega, state.omega),
+        vel_guess=unpack_liquid(grid, mid.vel_guess, state.vel_guess),
+        kappa=unpack_liquid(grid, mid.kappa, state.kappa),
+        kappa_v=unpack_liquid(grid, mid.kappa_v, state.kappa_v),
+        dt=mid.new_dt,
+        time=state.time + mid.new_dt,
+        last_visc_iters=mid.visc_iters,
+        last_pressure_iters=mid.pr_iters,
         diag=diag,
     )

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from .. import dense_ops, viscosity
 from ..config import SimConfig
 from ..grid import build_grid, pack_liquid, unpack_liquid
+from ..parallel.comm import NoComm
 from ..state import FluidState, StepDiagnostics
 
 
@@ -50,7 +51,7 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     # --- implicit viscosity (iisph.py:114-126) ---
     velp = pack_liquid(grid, state.vel)
     vgp = pack_liquid(grid, state.vel_guess)
-    visc = viscosity.solve_dense(grid, cfg, velp, vgp, rhop, dt)
+    visc = viscosity.solve_dense(NoComm(grid, cfg), velp, vgp, rhop, dt)
     gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
     d_vel = gvec + (visc.vel_new - velp) / dt           # combine_nonpressure
 

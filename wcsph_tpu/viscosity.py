@@ -113,21 +113,29 @@ def solve(pairs: ops.Pairs, vel: jnp.ndarray, vel_guess: jnp.ndarray,
     return ViscositySolution(vel_new=x, delta_v=x - vel, iters=iters)
 
 
-def solve_dense(grid, cfg: SimConfig, velp: jnp.ndarray, vel_guessp: jnp.ndarray,
+def solve_dense(comm, velp: jnp.ndarray, vel_guessp: jnp.ndarray,
                 rhop: jnp.ndarray, dt: jnp.ndarray) -> ViscositySolution:
-    """Same PCG on the cell-dense packed layout (dense_ops).  All dot
-    products restrict to liquid slots."""
+    """Same PCG on the cell-dense packed layout (dense_ops), parameterized by
+    a communicator (parallel/comm.py): single-device or x-slab sharded with
+    a halo exchange per matvec and psum'd dot products.  All arrays are in
+    the comm's OWNED (local) layout."""
     from . import dense_ops
 
-    rho_pad = dense_ops.WindowLoop(grid, cfg).pad(rhop, 1.0)
-    liq3 = grid.liquid[None]
+    cfg = comm.cfg
+    rho_l = comm.lift(rhop, 1.0)
+    rho_pad = dense_ops.WindowLoop(comm.grid, cfg).pad(rho_l, 1.0)
+    liq3 = comm._liq[None]
 
     def mv(x):
-        return dense_ops.visc_matvec(grid, cfg, x, rhop, rho_pad, dt)
+        return comm.lower(dense_ops.visc_matvec(
+            comm.grid, cfg, comm.lift(x), rho_l, rho_pad, dt))
 
     x0 = vel_guessp + velp                     # warm start (dfsph.py:199-200)
     # fused setup: preconditioner + A x0 share one window scan
-    minv, ax0 = dense_ops.visc_init(grid, cfg, x0, rhop, rho_pad, dt)
+    minv_e, ax0_e = dense_ops.visc_init(comm.grid, cfg, comm.lift(x0),
+                                        rho_l, rho_pad, dt)
+    minv = mat3.Sym3(*[comm.lower(c) for c in minv_e])
+    ax0 = comm.lower(ax0_e)
 
     def precond(r):
         # Sym3.matvec expects (3, N); flatten packed dims
@@ -137,7 +145,7 @@ def solve_dense(grid, cfg: SimConfig, velp: jnp.ndarray, vel_guessp: jnp.ndarray
         return flat.reshape(shp)
 
     def ldot(a, b):
-        return jnp.sum(jnp.where(liq3, a * b, 0.0))
+        return comm.lsum(jnp.sum(a * b, axis=0))
 
     r0 = jnp.where(liq3, velp - ax0, 0.0)
     d0 = precond(r0)
