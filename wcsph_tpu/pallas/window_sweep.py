@@ -1,0 +1,129 @@
+"""Pallas (Mosaic) fused window-sweep kernel for the cell-dense layout.
+
+A hand-written TPU kernel for the hottest sweep shape — the 27-cell window
+pass over the packed (C, NC) grid — to compare against the XLA engine
+(dense_ops).  The kernel blocks the cell axis; each program DMAs its block
+plus a one-x-plane halo from HBM into VMEM once and runs all 27 offsets as
+STATIC slices of the VMEM window, fusing the whole sweep into one kernel
+with zero intermediate HBM traffic.
+
+Measured on one v5e chip the XLA scan-based sweep already runs at the raw
+VPU ceiling for this formulation (see CLAUDE.md), so this kernel is kept as
+an optional backend (SimConfig is unchanged; call density_pallas directly)
+and as the foundation for future fused-solver-iteration kernels.
+
+Note the asymmetric design vs dense_ops: Mosaic prefers static control flow,
+so the kernel unrolls all 27 offsets (no Newton mirror) — the per-pair work
+is ~2x the symmetric XLA path but runs entirely from VMEM.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import kernels
+from ..config import SimConfig
+from ..grid import DenseGrid, EMPTY_POS, _OFFSETS, linear_offset
+
+
+def _plan(cfg: SimConfig, block: int):
+    gx, gy, gz = cfg.grid_res
+    w = gy * gz + gz + 1
+    w = -(-w // 128) * 128      # DMA slices must be 128-lane aligned
+    nc = cfg.num_cells
+    nb = -(-nc // block) 
+    return w, nc, nb
+
+
+def density_pallas(grid: DenseGrid, cfg: SimConfig,
+                   block: int = 4096) -> jnp.ndarray:
+    """rho for every packed slot, (C, NC) — pallas twin of
+    dense_ops.density_stats(...).rho."""
+    cap = grid.pid.shape[0]
+    w, nc, nb = _plan(cfg, block)
+    gx, gy, gz = cfg.grid_res
+    h = cfg.support_radius
+    h2 = h * h
+    rho0 = cfg.rest_density
+    w0 = cfg.liquid_volume * kernels.cubic_w0(h)
+    sigma = 8.0 / (math.pi * h * h * h)
+    offsets = [(linear_offset(o, cfg), o) for o in _OFFSETS]
+
+    # pre-pad along the cell axis (w zeros/sentinels each side) and pad the
+    # cell count to a block multiple so every program sees full windows
+    pad_hi = nb * block - nc
+    xp = jnp.pad(grid.xp, ((0, 0), (0, 0), (w, w + pad_hi)),
+                 constant_values=EMPTY_POS)
+    vol = jnp.where(grid.liquid, cfg.liquid_volume,
+                    jnp.where(grid.valid, cfg.solid_volume, 0.0))
+    vol = jnp.pad(vol, ((0, 0), (w, w + pad_hi)))
+
+    win = block + 2 * w
+
+    def kernel(xp_ref, vol_ref, out_ref):
+        b = pl.program_id(0)
+        base = b * block
+
+        def body(xw, vw, sem):
+            dma1 = pltpu.make_async_copy(
+                xp_ref.at[:, :, pl.ds(base, win)], xw, sem)
+            dma1.start()
+            dma1.wait()
+            dma2 = pltpu.make_async_copy(
+                vol_ref.at[:, pl.ds(base, win)], vw, sem)
+            dma2.start()
+            dma2.wait()
+
+            home = [xw[c, :, w:w + block] for c in range(3)]  # (C, B)
+            # global cell coords of the block for the in-box masks
+            idx = base - w + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block), 1)[0]
+            cx = idx // (gy * gz)
+            cy = (idx // gz) % gy
+            cz = idx % gz
+
+            acc = jnp.zeros((cap, block), jnp.float32)
+            for lin, (dx, dy, dz) in offsets:
+                nbr = [xw[c, :, w + lin:w + lin + block] for c in range(3)]
+                d2 = sum((home[c][:, None, :] - nbr[c][None, :, :]) ** 2
+                         for c in range(3))
+                inbox = ((cx + dx >= 0) & (cx + dx < gx)
+                         & (cy + dy >= 0) & (cy + dy < gy)
+                         & (cz + dz >= 0) & (cz + dz < gz))
+                m = (d2 <= h2) & inbox[None, None, :]
+                if lin == 0:
+                    eye = jax.lax.broadcasted_iota(
+                        jnp.int32, (cap, cap, 1), 0) == jax.lax.broadcasted_iota(
+                        jnp.int32, (cap, cap, 1), 1)
+                    m = m & ~eye
+                q = jnp.sqrt(jnp.maximum(d2, 0.0)) / h
+                inner = 6.0 * q * q * q - 6.0 * q * q + 1.0
+                f = 1.0 - q
+                wk = sigma * jnp.where(q <= 0.5, inner, 2.0 * f * f * f)
+                wk = jnp.where(m, wk, 0.0)
+                vj = vw[:, w + lin:w + lin + block][None]
+                acc = acc + jnp.sum(vj * wk, axis=1)
+            out_ref[:, :] = rho0 * (w0 + acc)
+
+        pl.run_scoped(
+            body,
+            xw=pltpu.VMEM((3, cap, win), jnp.float32),
+            vw=pltpu.VMEM((cap, win), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((cap, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cap, nb * block), jnp.float32),
+    )(xp, vol)
+    return out[:, :nc]

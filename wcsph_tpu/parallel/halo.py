@@ -35,7 +35,6 @@ from .. import dense_ops
 from ..config import SimConfig
 from ..grid import DenseGrid, build_grid, pack_liquid, unpack_liquid
 from ..state import FluidState, StepDiagnostics
-from . import comm as comm_mod
 from .comm import AXIS, SlabComm, exchange_halo
 
 
