@@ -134,3 +134,12 @@ def test_debug_exports(tmp_path):
     n2 = debug_export.export_color_field(sim.state, sim.cfg,
                                          str(tmp_path / "color.obj"))
     assert n2 == sim.state.n_liquid
+
+
+def test_grid_stats():
+    sim = _sim("sesph")
+    st = sim.grid_stats()
+    assert st["max_cell_occupancy"] <= st["cell_capacity"]
+    assert 20 <= st["max_neighbors"] <= 60
+    assert 0 < st["nonempty_cells"] <= st["num_cells"]
+    assert st["overflow"] == 0

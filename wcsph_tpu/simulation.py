@@ -15,6 +15,7 @@ from functools import partial
 from typing import Callable, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .config import SimConfig
@@ -98,6 +99,32 @@ class Simulation:
                 "vel_max")
         out = dict(zip(keys, (v.item() for v in map(np.asarray, vals))))
         return out
+
+    def grid_stats(self) -> dict:
+        """Neighbor-structure diagnostics (reference get_max_neighbour /
+        max-cell-occupancy prints, HashGrid.py:127-152)."""
+        from . import dense_ops
+        from .grid import build_grid, cell_of_positions
+
+        @jax.jit
+        def go(pos):
+            grid = build_grid(pos, self.state.n_liquid, self.cfg)
+            cnt = dense_ops.density_stats(grid, self.cfg, False).count
+            occ = jnp.sum(grid.valid, axis=0)
+            liq_cnt = jnp.where(grid.liquid, cnt, 0)
+            return (jnp.max(liq_cnt), jnp.max(occ),
+                    jnp.sum(occ > 0), grid.overflow)
+
+        max_nbr, max_occ, nonempty, ovf = map(
+            lambda x: int(np.asarray(x)), go(self.state.pos))
+        return {
+            "max_neighbors": max_nbr,
+            "max_cell_occupancy": max_occ,
+            "cell_capacity": self.cfg.cell_capacity,
+            "nonempty_cells": nonempty,
+            "num_cells": self.cfg.num_cells,
+            "overflow": ovf,
+        }
 
     def check_health(self) -> None:
         """NaN watchdog (reference dfsph.py:645-647) — raises on divergence."""
