@@ -148,3 +148,16 @@ def test_tension_and_vorticity_match(setup):
                                rtol=1e-3, atol=1e-4 * np.abs(np.asarray(dv_g)).max())
     np.testing.assert_allclose(unpk(grid, om_d, nl), np.asarray(om_g),
                                rtol=1e-3, atol=1e-4 * np.abs(np.asarray(om_g)).max())
+
+
+def test_pallas_density_matches_dense(setup):
+    """The Mosaic window-sweep kernel (interpret mode on CPU) must match the
+    XLA dense engine."""
+    from wcsph_tpu.pallas.window_sweep import density_pallas
+
+    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
+    rho_x = dense_ops.density_stats(grid, cfg, False).rho
+    rho_p = density_pallas(grid, cfg, block=256)
+    liq = np.asarray(grid.liquid)
+    np.testing.assert_allclose(np.asarray(rho_p)[liq], np.asarray(rho_x)[liq],
+                               rtol=2e-5)

@@ -7,14 +7,17 @@ plus a one-x-plane halo from HBM into VMEM once and runs all 27 offsets as
 STATIC slices of the VMEM window, fusing the whole sweep into one kernel
 with zero intermediate HBM traffic.
 
-Measured on one v5e chip the XLA scan-based sweep already runs at the raw
-VPU ceiling for this formulation (see CLAUDE.md), so this kernel is kept as
-an optional backend (SimConfig is unchanged; call density_pallas directly)
-and as the foundation for future fused-solver-iteration kernels.
+Measured on one v5e chip at 100k particles: 3.5 ms vs 2.65 ms for the XLA
+symmetric-scan sweep — but this kernel evaluates all 27 offsets (no Newton
+mirror, since mirror writes would cross block boundaries), i.e. ~1.9x the
+pair work, so its per-pair throughput is ~1.4x the XLA path.  It is kept as
+an optional backend and as the foundation for round-2 fused-solver-iteration
+kernels (with halo-accumulated mirrors).
 
-Note the asymmetric design vs dense_ops: Mosaic prefers static control flow,
-so the kernel unrolls all 27 offsets (no Newton mirror) — the per-pair work
-is ~2x the symmetric XLA path but runs entirely from VMEM.
+Mosaic constraints found while building this (see CLAUDE.md gotchas):
+HBM->VMEM DMA slices must be 128-lane aligned (halo width rounded up to a
+lane multiple), and the unrolled offset bodies are stack-allocated in VMEM —
+the block size bounds the live set (256 cells fits; 2048 OOMs).
 """
 
 from __future__ import annotations
@@ -40,10 +43,17 @@ def _plan(cfg: SimConfig, block: int):
     return w, nc, nb
 
 
-def density_pallas(grid: DenseGrid, cfg: SimConfig,
-                   block: int = 4096) -> jnp.ndarray:
+def density_pallas(grid: DenseGrid, cfg: SimConfig, block: int = 256,
+                   interpret: bool = None) -> jnp.ndarray:
     """rho for every packed slot, (C, NC) — pallas twin of
-    dense_ops.density_stats(...).rho."""
+    dense_ops.density_stats(...).rho.
+
+    block: cells per program; 256 keeps the 27 unrolled (C, C, block)
+    temporaries within VMEM (Mosaic stack-allocates the unrolled body).
+    interpret: force the pallas interpreter (auto-on for CPU backends).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     cap = grid.pid.shape[0]
     w, nc, nb = _plan(cfg, block)
     gx, gy, gz = cfg.grid_res
@@ -80,8 +90,10 @@ def density_pallas(grid: DenseGrid, cfg: SimConfig,
             dma2.wait()
 
             home = [xw[c, :, w:w + block] for c in range(3)]  # (C, B)
-            # global cell coords of the block for the in-box masks
-            idx = base - w + jax.lax.broadcasted_iota(
+            # global cell coords of the block for the in-box masks: padded
+            # index p holds global cell p - w, so the home slice (window
+            # offset w, window base p = base) is global [base, base + block)
+            idx = base + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block), 1)[0]
             cx = idx // (gy * gz)
             cy = (idx // gz) % gy
@@ -125,5 +137,6 @@ def density_pallas(grid: DenseGrid, cfg: SimConfig,
         out_specs=pl.BlockSpec((cap, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cap, nb * block), jnp.float32),
+        interpret=interpret,
     )(xp, vol)
     return out[:, :nc]
