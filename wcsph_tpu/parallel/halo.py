@@ -177,3 +177,32 @@ def dfsph_step_sharded(state: FluidState, cfg: SimConfig, mesh: Mesh) -> FluidSt
         dt=new_dt, time=state.time + new_dt,
         last_visc_iters=vs_it, last_pressure_iters=pr_it, diag=diag,
     )
+
+
+def sesph_step_sharded(state: FluidState, cfg: SimConfig, mesh: Mesh) -> FluidState:
+    """SESPH step with the sweep middle under slab decomposition."""
+    from ..solvers import sesph
+
+    n = mesh.devices.size
+    assert cfg.grid_res[0] % n == 0, "use slab_config() to pad the domain"
+    nl = state.n_liquid
+    grid = build_grid(state.pos, nl, cfg)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                       P(None, None, AXIS), P(None, None, AXIS), P()),
+             out_specs=(P(None, None, AXIS), P(None, AXIS), P(None, AXIS)),
+             check_vma=False)
+    def middle(pid, valid, liquid, xp, velp, dt):
+        comm = _make_slab_comm(pid, valid, liquid, xp, cfg, n)
+        return sesph.step_middle(comm, cfg, velp, dt)
+
+    velp, rhop, pp = middle(grid.pid, grid.valid, grid.liquid, grid.xp,
+                            pack_liquid(grid, state.vel), state.dt)
+    vel = unpack_liquid(grid, velp, state.vel)
+    pos = state.pos.at[:, :nl].add(vel * state.dt)
+    diag = StepDiagnostics(neighbor_overflow=grid.overflow,
+                           vel_max=jnp.sqrt(jnp.max(jnp.sum(vel**2, axis=0))))
+    return state.replace(pos=pos, vel=vel,
+                         pressure=unpack_liquid(grid, pp, state.pressure),
+                         time=state.time + state.dt, diag=diag)

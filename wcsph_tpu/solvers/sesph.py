@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from .. import dense_ops, ops
 from ..config import SimConfig
 from ..grid import build_grid, pack_liquid, unpack_liquid
+from ..parallel.comm import NoComm
 from ..state import FluidState, StepDiagnostics
 
 
@@ -30,21 +31,29 @@ def default_config(**overrides) -> SimConfig:
     return SimConfig(**base)
 
 
+def step_middle(comm, cfg: SimConfig, velp, dt):
+    """Density -> EOS -> forces -> velocity update, comm-parameterized
+    (runs single-device or slab-sharded; see parallel/halo.py)."""
+    stats = dense_ops.density_stats(comm.grid, comm.cfg, with_alpha=False)
+    rhop, pp = ops.tait_pressure(comm.lower(stats.rho), cfg)
+
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    rho_l = comm.lift(rhop, 1.0)
+    d_vel = (gvec
+             + comm.lower(dense_ops.explicit_viscosity_accel(
+                 comm.grid, comm.cfg, comm.lift(velp), rho_l))
+             + comm.lower(dense_ops.pressure_accel_symmetric(
+                 comm.grid, comm.cfg, rho_l, comm.lift(pp))))
+    return velp + d_vel * dt, rhop, pp                  # sesph.py:191-196
+
+
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
     grid = build_grid(state.pos, nl, cfg)
+    comm = NoComm(grid, cfg)
 
-    stats = dense_ops.density_stats(grid, cfg, with_alpha=False)
-    rhop, pp = ops.tait_pressure(stats.rho, cfg)        # sesph.py:158-166
-
-    velp = pack_liquid(grid, state.vel)
-    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
-    d_vel = (gvec
-             + dense_ops.explicit_viscosity_accel(grid, cfg, velp, rhop)
-             + dense_ops.pressure_accel_symmetric(grid, cfg, rhop, pp))
-
-    velp = velp + d_vel * dt                            # sesph.py:191-196
+    velp, rhop, pp = step_middle(comm, cfg, pack_liquid(grid, state.vel), dt)
     vel = unpack_liquid(grid, velp, state.vel)
     pos = state.pos.at[:, :nl].add(vel * dt)
     pressure = unpack_liquid(grid, pp, state.pressure)
