@@ -35,8 +35,11 @@ class Anisotropy(NamedTuple):
 
 
 def _weight(w, cfg: SimConfig):
-    """1 - (d / w_r)^3 inside w_r, else 0 (ParticleData.py:291-298).  The
-    reference's radius is 2x the MC search radius = 2h."""
+    """1 - (d / w_r)^3 inside w_r, else 0 (ParticleData.py:291-298) with
+    w_r = 2x the MC search radius ~= 2h.  Documented divergence: pairs are
+    drawn from the h window (the reference's loose sim-grid lists reach
+    ~5-6r), so the covariance sees slightly fewer far neighbors; the
+    singular-value clamps dominate the resulting G either way."""
     w_r = 2.0 * cfg.support_radius
     d = jnp.sqrt(jnp.maximum(w.dist2, 0.0))
     return jnp.where(w.mask & w.liq_j & (d < w_r), 1.0 - (d / w_r) ** 3, 0.0)

@@ -76,7 +76,10 @@ def mc_field_packed(grid: DenseGrid, cfg: SimConfig, rhop: jnp.ndarray,
     liq_pad = loop.pad(grid.liquid, False)
     g_pads = None if g_packed is None else [loop.pad(g, 0.0) for g in g_packed]
 
-    # gate: rho_j above rest-kernel density (MarchingCubeGrid.py:203-205)
+    # gate: rho_j above rest-kernel density (MarchingCubeGrid.py:203-205).
+    # Documented divergence: the reference evaluates W0 with its MC kernel
+    # radius (3.6 r); ours uses h = 4 r, a slightly lower (more inclusive)
+    # gate — both are heuristic splash filters.
     rho_gate = cfg.liquid_mass * kernels.cubic_w0(cfg.support_radius)
 
     def fn(acc, w, lp):
