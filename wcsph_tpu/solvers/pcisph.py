@@ -71,26 +71,41 @@ def pci_coefficient(particle_radius: float) -> float:
 
 
 def _predicted_density_and_accel(grid, cfg, xstar, pp):
-    """One window scan at the PREDICTED positions: clamped normalized density
-    and, reusing the same geometry, the pressure acceleration
-    (pcisph.py:237-278, intended starred-position form)."""
+    """One half-window scan at the PREDICTED positions: clamped normalized
+    density and, reusing the same geometry, the pressure acceleration
+    (pcisph.py:237-278, intended starred-position form).  W and the summed
+    pressure (p_i + p_j; boundary p packed as 0) are flip-invariant; only the
+    volume factor and the sign of r swap on the mirror side."""
     loop = dense_ops.WindowLoop(grid, cfg, xp=xstar)
     p_pad = loop.pad(pp, 0.0)
+    v_home = loop.vol_home()
+    liq_home = grid.liquid[:, None, :]
+    sol_home = (grid.valid & ~grid.liquid)[:, None, :]
 
-    def fn(carry, w, lp):
+    def fn(carry, w, lp, mg):
         adv, acc = carry
         wk = dense_ops._masked_w(w, cfg)
         gs = dense_ops._masked_gs(w, cfg)
         vj = dense_ops._vol_j(w, cfg)
-        adv = adv + jnp.sum(vj * wk, axis=1)
+        adv = adv + jnp.sum(vj * wk, axis=1) \
+            + lp.shift_out(mg * jnp.sum(v_home * wk, axis=0), w.lin)
         p_j = lp.shift(p_pad, w.lin)[None]
-        coeff = jnp.where(w.liq_j, cfg.liquid_volume * (pp[:, None, :] + p_j),
-                          jnp.where(w.sol_j,
-                                    cfg.solid_volume * pp[:, None, :], 0.0))
-        acc = lp.accum_r(w, -coeff * gs, acc)
-        return adv, acc
+        psum = pp[:, None, :] + p_j
+        c_ij = jnp.where(w.liq_j, cfg.liquid_volume * psum,
+                         jnp.where(w.sol_j,
+                                   cfg.solid_volume * pp[:, None, :], 0.0))
+        c_ji = jnp.where(liq_home, cfg.liquid_volume * psum,
+                         jnp.where(sol_home, cfg.solid_volume * p_j, 0.0))
+        parts = []
+        for c in range(3):
+            rc = lp.rij(w, c)
+            home = jnp.sum(-c_ij * gs * rc, axis=1)
+            mirr = lp.shift_out(mg * jnp.sum(c_ji * gs * rc, axis=0), w.lin)
+            parts.append(home + mirr)
+        return adv, acc + jnp.stack(parts)
 
-    adv, acc = loop.scan(fn, (dense_ops._zeros(grid), dense_ops._zeros(grid, 3)))
+    adv, acc = loop.scan_sym(
+        fn, (dense_ops._zeros(grid), dense_ops._zeros(grid, 3)))
     adv = jnp.maximum(cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
                       + adv, 1.0)
     return adv, acc
