@@ -26,11 +26,10 @@ machine with no atomics and 128-wide vector lanes.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .config import SimConfig
 

@@ -104,7 +104,7 @@ class Simulation:
         """Neighbor-structure diagnostics (reference get_max_neighbour /
         max-cell-occupancy prints, HashGrid.py:127-152)."""
         from . import dense_ops
-        from .grid import build_grid, cell_of_positions
+        from .grid import build_grid
 
         @jax.jit
         def go(pos):

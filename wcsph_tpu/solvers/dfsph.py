@@ -22,14 +22,14 @@ error reductions (SlabComm, see parallel/halo.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from .. import dense_ops, viscosity
 from ..config import SimConfig
-from ..grid import DenseGrid, build_grid, pack_liquid, unpack_liquid
+from ..grid import build_grid, pack_liquid, unpack_liquid
 from ..parallel.comm import NoComm
 from ..state import FluidState, StepDiagnostics
 
