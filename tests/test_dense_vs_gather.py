@@ -161,3 +161,20 @@ def test_pallas_density_matches_dense(setup):
     liq = np.asarray(grid.liquid)
     np.testing.assert_allclose(np.asarray(rho_p)[liq], np.asarray(rho_x)[liq],
                                rtol=2e-5)
+
+
+def test_pallas_kappa_matches_dense(setup):
+    from wcsph_tpu.pallas.window_sweep import kappa_update_pallas
+
+    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
+    rng = np.random.default_rng(13)
+    k = jnp.asarray(rng.normal(0, 1.0, (nl,)).astype(np.float32))
+    velp = pack_liquid(grid, vel)
+    kp = pack_liquid(grid, k)
+    dt = jnp.float32(1e-3)
+    v_x = dense_ops.kappa_velocity_update(grid, cfg, velp, kp, dt)
+    v_p = kappa_update_pallas(grid, cfg, velp, kp, dt, block=128)
+    liq = np.asarray(grid.liquid)
+    a, b = np.asarray(v_p), np.asarray(v_x)
+    np.testing.assert_allclose(a[:, liq], b[:, liq], rtol=2e-4,
+                               atol=1e-5 * np.abs(b[:, liq]).max())

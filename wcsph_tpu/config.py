@@ -104,6 +104,10 @@ class SimConfig:
 
     # ---- numerics ----
     eps: float = 1e-5
+    # Route the solver-loop kappa sweep through the hand-written Mosaic
+    # kernel (pallas/window_sweep.py): ~1.5x at 1M particles on TPU.  Off by
+    # default (CPU tests would hit the slow pallas interpreter).
+    use_pallas: bool = False
 
     # ------------------------------------------------------------------
     # Derived quantities

@@ -331,7 +331,14 @@ def kappa_velocity_update(grid, cfg, velp, kp, dt):
 
     Half-window: F = (k_i + k_j) gs r_ij is shared; the home side scales by
     V_j, the mirror side by -V_i.  kp is liquid-packed (zero at solid/empty
-    slots) so the reference's liquid/solid k_j branches collapse."""
+    slots) so the reference's liquid/solid k_j branches collapse.
+
+    With cfg.use_pallas the sweep runs as the hand-written Mosaic kernel
+    (all 27 offsets from VMEM; ~1.5x at 1M on TPU)."""
+    if cfg.use_pallas:
+        from .pallas.window_sweep import kappa_update_pallas
+
+        return kappa_update_pallas(grid, cfg, velp, kp, dt)
     loop = WindowLoop(grid, cfg)
     k_pad = loop.pad(kp, 0.0)
     ki = kp[:, None, :]
