@@ -30,7 +30,7 @@ def build_sim(n_side: int, solver: str = "dfsph"):
                    box_extent=extent)
     lo, hi = sc.domain(pad=6 * r)
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
-                         domain_max=hi)
+                         domain_max=hi, use_pallas=True)
     return Simulation(sc, cfg, solver=solver)
 
 
