@@ -178,3 +178,16 @@ def test_pallas_kappa_matches_dense(setup):
     a, b = np.asarray(v_p), np.asarray(v_x)
     np.testing.assert_allclose(a[:, liq], b[:, liq], rtol=2e-4,
                                atol=1e-5 * np.abs(b[:, liq]).max())
+
+
+def test_pallas_div_accum_matches_dense(setup):
+    from wcsph_tpu.pallas.window_sweep import div_accum_pallas
+
+    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
+    velp = pack_liquid(grid, vel)
+    d_x = dense_ops._div_accum(grid, cfg, velp)
+    d_p = div_accum_pallas(grid, cfg, velp, block=128)
+    liq = np.asarray(grid.liquid)
+    a, b = np.asarray(d_p), np.asarray(d_x)
+    np.testing.assert_allclose(a[liq], b[liq], rtol=2e-4,
+                               atol=1e-5 * np.abs(b[liq]).max())

@@ -302,7 +302,13 @@ def _div_accum(grid, cfg, velp):
     """Half-window core of drho/adv_rho: sum_j V_j gs (v_i - v_j).r_ij.
     The pair term gs * (v_i - v_j).r is fully symmetric (double sign flip on
     the mirror side); only the volume factor swaps i<->j.  Solid velocities
-    are zero in the liquid-packed velp, matching the reference's branches."""
+    are zero in the liquid-packed velp, matching the reference's branches.
+
+    With cfg.use_pallas the sweep runs as the Mosaic kernel."""
+    if cfg.use_pallas:
+        from .pallas.window_sweep import div_accum_pallas
+
+        return div_accum_pallas(grid, cfg, velp)
     loop = WindowLoop(grid, cfg)
     vel_pad = loop.pad(velp, 0.0)
     v_home = loop.vol_home()

@@ -150,6 +150,102 @@ def kappa_update_pallas(grid: DenseGrid, cfg: SimConfig, velp, kp, dt,
     return velp + dt * acc[:, :, :nc]
 
 
+def div_accum_pallas(grid: DenseGrid, cfg: SimConfig, velp,
+                     block: int = 256, interpret: bool = None) -> jnp.ndarray:
+    """Pallas twin of dense_ops._div_accum: sum_j V_j gs (v_i - v_j).r_ij —
+    the shared core of drho_divergence and advected_density (the other sweep
+    inside the DFSPH solver loops).  velp must be liquid-packed."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cap = grid.pid.shape[0]
+    w, nc, nb = _plan(cfg, block)
+    gx, gy, gz = cfg.grid_res
+    h = cfg.support_radius
+    h2 = h * h
+    m_l = 48.0 / (math.pi * h * h * h)
+    eps = 1.0e-5
+    offsets = [(linear_offset(o, cfg), o) for o in _OFFSETS]
+
+    pad_hi = nb * block - nc
+    xp = _pad_cells(grid.xp, w, pad_hi, EMPTY_POS)
+    vol = jnp.where(grid.liquid, cfg.liquid_volume,
+                    jnp.where(grid.valid, cfg.solid_volume, 0.0))
+    vol = _pad_cells(vol, w, pad_hi, 0.0)
+    vpad = _pad_cells(velp, w, pad_hi, 0.0)
+
+    win = block + 2 * w
+
+    def kernel(xp_ref, vol_ref, v_ref, out_ref):
+        b = pl.program_id(0)
+        base = b * block
+
+        def body(xw, vw, uw, sem):
+            for ref, dst in ((xp_ref.at[:, :, pl.ds(base, win)], xw),
+                             (vol_ref.at[:, pl.ds(base, win)], vw),
+                             (v_ref.at[:, :, pl.ds(base, win)], uw)):
+                dma = pltpu.make_async_copy(ref, dst, sem)
+                dma.start()
+                dma.wait()
+
+            home = [xw[c, :, w:w + block] for c in range(3)]
+            vhome = [uw[c, :, w:w + block] for c in range(3)]
+            idx = base + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block), 1)[0]
+            cx = idx // (gy * gz)
+            cy = (idx // gz) % gy
+            cz = idx % gz
+
+            acc = jnp.zeros((cap, block), jnp.float32)
+            for lin, (dx, dy, dz) in offsets:
+                dv_dot = jnp.zeros((cap, cap, block), jnp.float32)
+                d2 = jnp.zeros((cap, cap, block), jnp.float32)
+                for c in range(3):
+                    rc = (home[c][:, None, :]
+                          - xw[c, :, w + lin:w + lin + block][None, :, :])
+                    d2 = d2 + rc * rc
+                    dvc = (vhome[c][:, None, :]
+                           - uw[c, :, w + lin:w + lin + block][None, :, :])
+                    dv_dot = dv_dot + dvc * rc
+                inbox = ((cx + dx >= 0) & (cx + dx < gx)
+                         & (cy + dy >= 0) & (cy + dy < gy)
+                         & (cz + dz >= 0) & (cz + dz < gz))
+                m = (d2 <= h2) & inbox[None, None, :]
+                if lin == 0:
+                    eye = jax.lax.broadcasted_iota(
+                        jnp.int32, (cap, cap, 1), 0) == jax.lax.broadcasted_iota(
+                        jnp.int32, (cap, cap, 1), 1)
+                    m = m & ~eye
+                dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+                q = dist / h
+                inner = m_l * (3.0 * q - 2.0) / (h * h)
+                outer = -m_l * (1.0 - q) * (1.0 - q) / (
+                    jnp.maximum(dist, eps) * h)
+                gs = jnp.where(q <= 0.5, inner, outer)
+                gs = jnp.where(m & (dist > eps), gs, 0.0)
+                vj = vw[:, w + lin:w + lin + block][None]
+                acc = acc + jnp.sum(vj * gs * dv_dot, axis=1)
+            out_ref[:, :] = acc
+
+        pl.run_scoped(
+            body,
+            xw=pltpu.VMEM((3, cap, win), jnp.float32),
+            vw=pltpu.VMEM((cap, win), jnp.float32),
+            uw=pltpu.VMEM((3, cap, win), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        out_specs=pl.BlockSpec((cap, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cap, nb * block), jnp.float32),
+        interpret=interpret,
+    )(xp, vol, vpad)
+    return out[:, :nc]
+
+
 def density_pallas(grid: DenseGrid, cfg: SimConfig, block: int = 256,
                    interpret: bool = None) -> jnp.ndarray:
     """rho for every packed slot, (C, NC) — pallas twin of
