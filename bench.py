@@ -29,8 +29,10 @@ def build_sim(n_side: int, solver: str = "dfsph"):
     sc = dam_break(particle_radius=r, fluid_dims=(n_side, n_side, n_side),
                    box_extent=extent)
     lo, hi = sc.domain(pad=6 * r)
+    # the Mosaic loop-sweep kernels win at 1M (HBM-bound XLA sweeps) but
+    # lose at 100k (dispatch/window overhead) — enable by scale
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
-                         domain_max=hi, use_pallas=True)
+                         domain_max=hi, use_pallas=n_side >= 100)
     return Simulation(sc, cfg, solver=solver)
 
 

@@ -191,3 +191,20 @@ def test_pallas_div_accum_matches_dense(setup):
     a, b = np.asarray(d_p), np.asarray(d_x)
     np.testing.assert_allclose(a[liq], b[liq], rtol=2e-4,
                                atol=1e-5 * np.abs(b[liq]).max())
+
+
+def test_pallas_visc_matvec_matches_dense(setup):
+    from wcsph_tpu.pallas.window_sweep import visc_acc_pallas
+
+    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
+    velp = pack_liquid(grid, vel)
+    rhop = dense_ops.density_stats(grid, cfg, False).rho
+    rho_pad = dense_ops.WindowLoop(grid, cfg).pad(rhop, 1.0)
+    dt = jnp.float32(1e-3)
+    v_x = dense_ops.visc_matvec(grid, cfg, velp, rhop, rho_pad, dt)
+    acc = visc_acc_pallas(grid, cfg, velp, rhop, block=128)
+    v_p = velp - acc * (dt / jnp.maximum(rhop, 1.0))[None]
+    liq = np.asarray(grid.liquid)
+    a, b = np.asarray(v_p), np.asarray(v_x)
+    np.testing.assert_allclose(a[:, liq], b[:, liq], rtol=5e-4,
+                               atol=1e-5 * np.abs(b[:, liq]).max())

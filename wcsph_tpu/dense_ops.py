@@ -391,7 +391,11 @@ def _visc_coeffs(w: Win, lp: WindowLoop, cfg, rhop, rho_pad, liq_home, sol_home)
 def visc_matvec(grid, cfg, xv, rhop, rho_pad, dt):
     """A x = x - dt/rho_i sum_j c_j (x_i - x_j).r gradW  (dfsph.py:181-195).
     Half-window: gs (x_i - x_j).r is symmetric; only the coefficient and the
-    sign of r swap on the mirror side."""
+    sign of r swap on the mirror side.
+
+    (A Mosaic twin exists — pallas.window_sweep.visc_acc_pallas, 1.7x
+    standalone at 1M — but compiling it inside the full-step program
+    currently trips the AOT compiler; tracked in ROADMAP.md.)"""
     loop = WindowLoop(grid, cfg)
     x_pad = loop.pad(xv, 0.0)
     liq_home = grid.liquid[:, None, :]

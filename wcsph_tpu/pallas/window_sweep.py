@@ -246,6 +246,117 @@ def div_accum_pallas(grid: DenseGrid, cfg: SimConfig, velp,
     return out[:, :nc]
 
 
+def visc_acc_pallas(grid: DenseGrid, cfg: SimConfig, xv, rhop,
+                    block: int = 128, interpret: bool = None) -> jnp.ndarray:
+    """Pallas twin of the viscosity matvec accumulation (dfsph.py:181-195):
+    acc_i = sum_j c_j (x_i - x_j).r_ij gs r_ij with
+      c_j = dim nu m / rho_j (liquid j) or dim nu_b rho0 VS0 / rho_i (solid),
+    over (|r|^2 + 0.01 h^2).  The caller applies x - acc * dt/rho_i.
+    xv must be liquid-packed (zeros at solid/empty slots)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    cap = grid.pid.shape[0]
+    w, nc, nb = _plan(cfg, block)
+    gx, gy, gz = cfg.grid_res
+    h = cfg.support_radius
+    h2 = h * h
+    m_l = 48.0 / (math.pi * h * h * h)
+    eps = 1.0e-5
+    a_liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass
+    b_sol = cfg.dim_coff * cfg.viscosity_b * cfg.rest_density * cfg.solid_volume
+    offsets = [(linear_offset(o, cfg), o) for o in _OFFSETS]
+
+    pad_hi = nb * block - nc
+    xp = _pad_cells(grid.xp, w, pad_hi, EMPTY_POS)
+    xvp = _pad_cells(xv, w, pad_hi, 0.0)
+    rhp = _pad_cells(jnp.maximum(rhop, 1.0), w, pad_hi, 1.0)
+    liq = _pad_cells(grid.liquid.astype(jnp.float32), w, pad_hi, 0.0)
+    sol = _pad_cells((grid.valid & ~grid.liquid).astype(jnp.float32),
+                     w, pad_hi, 0.0)
+
+    win = block + 2 * w
+
+    def kernel(xp_ref, xv_ref, rh_ref, liq_ref, sol_ref, out_ref):
+        b = pl.program_id(0)
+        base = b * block
+
+        def body(xw, uw, rw, lw, sw, sem):
+            for ref, dst in ((xp_ref.at[:, :, pl.ds(base, win)], xw),
+                             (xv_ref.at[:, :, pl.ds(base, win)], uw),
+                             (rh_ref.at[:, pl.ds(base, win)], rw),
+                             (liq_ref.at[:, pl.ds(base, win)], lw),
+                             (sol_ref.at[:, pl.ds(base, win)], sw)):
+                dma = pltpu.make_async_copy(ref, dst, sem)
+                dma.start()
+                dma.wait()
+
+            home = [xw[c, :, w:w + block] for c in range(3)]
+            xhome = [uw[c, :, w:w + block] for c in range(3)]
+            inv_rho_i = 1.0 / rw[:, w:w + block][:, None, :]
+            idx = base + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block), 1)[0]
+            cx = idx // (gy * gz)
+            cy = (idx // gz) % gy
+            cz = idx % gz
+
+            acc = [jnp.zeros((cap, block), jnp.float32) for _ in range(3)]
+            for lin, (dx, dy, dz) in offsets:
+                sl = slice(w + lin, w + lin + block)
+                dxr = jnp.zeros((cap, cap, block), jnp.float32)
+                d2 = jnp.zeros((cap, cap, block), jnp.float32)
+                r = []
+                for c in range(3):
+                    rc = home[c][:, None, :] - xw[c, :, sl][None, :, :]
+                    r.append(rc)
+                    d2 = d2 + rc * rc
+                    dxr = dxr + (xhome[c][:, None, :]
+                                 - uw[c, :, sl][None, :, :]) * rc
+                inbox = ((cx + dx >= 0) & (cx + dx < gx)
+                         & (cy + dy >= 0) & (cy + dy < gy)
+                         & (cz + dz >= 0) & (cz + dz < gz))
+                m = (d2 <= h2) & inbox[None, None, :]
+                if lin == 0:
+                    eye = jax.lax.broadcasted_iota(
+                        jnp.int32, (cap, cap, 1), 0) == jax.lax.broadcasted_iota(
+                        jnp.int32, (cap, cap, 1), 1)
+                    m = m & ~eye
+                dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+                q = dist / h
+                gs = jnp.where(q <= 0.5, m_l * (3.0 * q - 2.0) / (h * h),
+                               -m_l * (1.0 - q) * (1.0 - q)
+                               / (jnp.maximum(dist, eps) * h))
+                gs = jnp.where(m & (dist > eps), gs, 0.0)
+                denom = d2 + 0.01 * h2
+                coeff = (lw[:, sl][None] * a_liq / rw[:, sl][None]
+                         + sw[:, sl][None] * b_sol * inv_rho_i) / denom
+                cfac = coeff * dxr * gs
+                for c in range(3):
+                    acc[c] = acc[c] + jnp.sum(cfac * r[c], axis=1)
+            for c in range(3):
+                out_ref[c, :, :] = acc[c]
+
+        pl.run_scoped(
+            body,
+            xw=pltpu.VMEM((3, cap, win), jnp.float32),
+            uw=pltpu.VMEM((3, cap, win), jnp.float32),
+            rw=pltpu.VMEM((cap, win), jnp.float32),
+            lw=pltpu.VMEM((cap, win), jnp.float32),
+            sw=pltpu.VMEM((cap, win), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    acc = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 5,
+        out_specs=pl.BlockSpec((3, cap, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, cap, nb * block), jnp.float32),
+        interpret=interpret,
+    )(xp, xvp, rhp, liq, sol)
+    return acc[:, :, :nc]
+
+
 def density_pallas(grid: DenseGrid, cfg: SimConfig, block: int = 256,
                    interpret: bool = None) -> jnp.ndarray:
     """rho for every packed slot, (C, NC) — pallas twin of
