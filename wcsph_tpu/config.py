@@ -104,9 +104,11 @@ class SimConfig:
 
     # ---- numerics ----
     eps: float = 1e-5
-    # Route the solver-loop kappa sweep through the hand-written Mosaic
-    # kernel (pallas/window_sweep.py): ~1.5x at 1M particles on TPU.  Off by
-    # default (CPU tests would hit the slow pallas interpreter).
+    # Route ALL hot window sweeps (density+alpha, kappa update, divergence
+    # accumulation, viscosity matvec/init, vorticity) through the Mosaic
+    # sweep engine (pallas/engine.py: plane-tiled DMA, rank-blocked capacity,
+    # occupancy skipping).  Off by default (CPU tests would hit the slow
+    # pallas interpreter); bench.py enables it on TPU.
     use_pallas: bool = False
 
     # ------------------------------------------------------------------

@@ -304,11 +304,8 @@ def _div_accum(grid, cfg, velp):
     the mirror side); only the volume factor swaps i<->j.  Solid velocities
     are zero in the liquid-packed velp, matching the reference's branches.
 
-    With cfg.use_pallas the sweep runs as the Mosaic kernel."""
-    if cfg.use_pallas:
-        from .pallas.window_sweep import div_accum_pallas
-
-        return div_accum_pallas(grid, cfg, velp)
+    (The Mosaic twin lives in pallas/engine.py; solvers dispatch to it via
+    comm.engine when cfg.use_pallas is set.)"""
     loop = WindowLoop(grid, cfg)
     vel_pad = loop.pad(velp, 0.0)
     v_home = loop.vol_home()
@@ -339,12 +336,8 @@ def kappa_velocity_update(grid, cfg, velp, kp, dt):
     V_j, the mirror side by -V_i.  kp is liquid-packed (zero at solid/empty
     slots) so the reference's liquid/solid k_j branches collapse.
 
-    With cfg.use_pallas the sweep runs as the hand-written Mosaic kernel
-    (all 27 offsets from VMEM; ~1.5x at 1M on TPU)."""
-    if cfg.use_pallas:
-        from .pallas.window_sweep import kappa_update_pallas
-
-        return kappa_update_pallas(grid, cfg, velp, kp, dt)
+    (The Mosaic twin lives in pallas/engine.py; solvers dispatch to it via
+    comm.engine when cfg.use_pallas is set.)"""
     loop = WindowLoop(grid, cfg)
     k_pad = loop.pad(kp, 0.0)
     ki = kp[:, None, :]

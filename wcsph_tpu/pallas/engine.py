@@ -1,0 +1,602 @@
+"""Sweep engine v2: plane-tiled, occupancy-skipping Mosaic window sweeps.
+
+This replaces the first-generation kernels in window_sweep.py for the hot
+DFSPH path.  Design (all measurement-driven, see ROADMAP.md round-2 notes):
+
+* **Plane-tiled DMA.**  window_sweep.py blocks the flat cell axis, so every
+  128-cell block drags a full-x-plane halo (~5k cells each side) from HBM —
+  an ~80x DMA amplification.  Here a program owns (one x-plane) x (a minor
+  chunk of Q cells) and DMAs exactly three plane rows with a 128-lane margin:
+  amplification ~3x on the plane axis, ~1.2x on the minor axis.
+
+* **Rank-blocked capacity.**  Cell capacity C is processed as C/8 rank
+  blocks of 8 sublanes.  At rest the dam-break packing is exactly 8
+  particles/cell (spacing 2r in h=4r cells), so only rank block 0 is
+  occupied and the pair work per (cell, offset) is 8x8, not CxC.  Capacity
+  can therefore be raised (24/32) to make overflow vanish (the reference
+  drops overflow on the floor, HashGrid.py:73) at near-zero cost: higher
+  rank blocks only cost where cells actually compress.
+
+* **Occupancy bitmask skipping.**  A per-(program, offset) int32 bitmask —
+  bit rbh*NRB+rbn set iff home rank-block rbh and (conservative) neighbor
+  rank-block rbn both contain particles (and, for liquid-output ops, at
+  least one side contains liquid) — is precomputed in XLA from the packed
+  grid and scalar-prefetched into SMEM.  Empty air / solid-interior chunks
+  and all rank-block pairs beyond the local compression never issue a single
+  VPU op.  Fully inactive programs skip their DMAs too.
+
+* **One traced offset body.**  The 27 window offsets run as a
+  ``lax.fori_loop`` over an SMEM offset table (dynamic VMEM slices), not 27
+  unrolled bodies — Mosaic compile time stays flat and the kernel code is
+  tiny.
+
+The reference's corresponding hot loops are the per-particle neighbor
+gathers in dfsph.py:248-262/346-372/449-547/181-246 driven by
+HashGrid.py:88-106; this engine is their shape on a machine with 128-wide
+vector lanes, no atomics and no efficient gathers.
+
+Numerical contract: op-for-op parity with the XLA twins in dense_ops.py
+(differential-tested in tests/test_engine.py); accumulation order differs
+(offset-major here vs offset-scan there), so comparisons are tolerance-based.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from ..grid import DenseGrid, EMPTY_POS, _OFFSETS
+
+_EPS = 1.0e-5
+_MARGIN = 128          # minor-axis sentinel margin (covers |dy*gz+dz| <= gz+1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _Plan(NamedTuple):
+    """Static geometry of the sweep grid (derived from cfg only)."""
+
+    C: int          # cell capacity (multiple of 8)
+    NRB: int        # rank blocks = C // 8
+    gx: int
+    gy: int
+    gz: int
+    P: int          # minor plane size = gy * gz
+    Q: int          # minor chunk per program (multiple of 128)
+    nq: int         # chunks per plane
+    PP: int         # padded minor size = 2 * _MARGIN + nq * Q
+    NX: int         # padded planes = gx + 2
+    Wq: int         # VMEM window per plane row = Q + 2 * _MARGIN
+
+
+def make_plan(cfg: SimConfig, cap: int) -> _Plan:
+    gx, gy, gz = cfg.grid_res
+    assert cap % 8 == 0, "engine capacity must be a multiple of 8"
+    assert min(gx, gy, gz) >= 3, "engine needs >= 3 cells per axis"
+    assert gz + 2 <= _MARGIN, "gz too large for the fixed minor margin"
+    P = gy * gz
+    nq = max(1, -(-P // 1280))
+    Q = _round_up(-(-P // nq), 128)
+    return _Plan(C=cap, NRB=cap // 8, gx=gx, gy=gy, gz=gz, P=P, Q=Q, nq=nq,
+                 PP=2 * _MARGIN + nq * Q, NX=gx + 2, Wq=Q + 2 * _MARGIN)
+
+
+def _pad_field(plan: _Plan, a: jnp.ndarray, fill) -> jnp.ndarray:
+    """(…, C, NC) -> (…, NX, C, PP) with sentinel borders.
+
+    The plane axis comes BEFORE the capacity axis so the per-program DMA
+    slices only batch dims of the HBM memref (Mosaic requires slices of the
+    tiled trailing (sublane, lane) dims to be tile-aligned)."""
+    lead = a.shape[:-1]
+    a3 = a.reshape(lead + (plan.gx, plan.P))
+    a3 = jnp.moveaxis(a3, -2, -3)       # (…, gx, C, P)
+    pad = [(0, 0)] * (a3.ndim - 3) + [(1, 1), (0, 0),
+                                      (_MARGIN, plan.PP - plan.P - _MARGIN)]
+    return jnp.pad(a3, pad, constant_values=fill)
+
+
+def _unpad_out(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
+    """(gx, NOUT, C, nq*Q) -> (NOUT, C, NC)."""
+    nout = out.shape[1]
+    o = jnp.moveaxis(out, 0, 2)                      # (NOUT, C, gx, nq*Q)
+    return o[..., :plan.P].reshape(nout, plan.C, plan.gx * plan.P)
+
+
+# ---------------------------------------------------------------------------
+# Occupancy bitmasks
+# ---------------------------------------------------------------------------
+
+def _chunk_counts(plan: _Plan, occ: jnp.ndarray) -> jnp.ndarray:
+    """(C, NC) bool -> (NRB, NX, nq+2) int32 per-rank-block chunk counts,
+    padded with zero borders on both the plane and chunk axes."""
+    c = occ.reshape(plan.NRB, 8, plan.gx, plan.P).sum(1).astype(jnp.int32)
+    c = jnp.pad(c, ((0, 0), (0, 0), (0, plan.nq * plan.Q - plan.P)))
+    c = c.reshape(plan.NRB, plan.gx, plan.nq, plan.Q).sum(-1)
+    return jnp.pad(c, ((0, 0), (1, 1), (1, 1)))
+
+
+def _active_masks(plan: _Plan, grid: DenseGrid):
+    """Returns (act_any, act_liq, nonzero_any, nonzero_liq):
+    act_* : (gx, nq, 27) int32 bitmasks, bit rbh*NRB+rbn;
+    nonzero_* : (gx, nq) int32 (1 if any offset bit set — gates DMA).
+    act_any uses the rule "both sides occupied"; act_liq additionally
+    requires liquid on at least one side (enough for every op whose outputs
+    are only consumed at liquid slots)."""
+    ca = _chunk_counts(plan, grid.valid)       # (NRB, NX, nq+2)
+    cl = _chunk_counts(plan, grid.liquid)
+    px = np.arange(plan.gx)
+    q = np.arange(plan.nq)
+    home_a = ca[:, px + 1][:, :, q + 1]        # (NRB, gx, nq)
+    home_l = cl[:, px + 1][:, :, q + 1]
+
+    # bit weights: (rbh, rbn) -> 1 << (rbh * NRB + rbn)
+    wts = (1 << np.arange(plan.NRB * plan.NRB, dtype=np.int32)).reshape(
+        plan.NRB, plan.NRB)
+    wts = jnp.asarray(wts)[:, :, None, None]
+    bits_any, bits_liq = [], []
+    for (dx, dy, dz) in _OFFSETS:
+        sgn = int(np.sign(dy * plan.gz + dz))
+        na = ca[:, px + 1 + dx][:, :, q + 1]
+        nl = cl[:, px + 1 + dx][:, :, q + 1]
+        if sgn != 0:
+            na = na + ca[:, px + 1 + dx][:, :, q + 1 + sgn]
+            nl = nl + cl[:, px + 1 + dx][:, :, q + 1 + sgn]
+        # (rbh, rbn, gx, nq)
+        pair_any = (home_a[:, None] > 0) & (na[None] > 0)
+        pair_liq = pair_any & ((home_l[:, None] > 0) | (nl[None] > 0))
+        bits_any.append(jnp.sum(wts * pair_any, axis=(0, 1)))
+        bits_liq.append(jnp.sum(wts * pair_liq, axis=(0, 1)))
+    bits_any = jnp.stack(bits_any, axis=-1).astype(jnp.int32)
+    bits_liq = jnp.stack(bits_liq, axis=-1).astype(jnp.int32)
+    nz_any = (jnp.sum(bits_any, axis=2) > 0).astype(jnp.int32)
+    nz_liq = (jnp.sum(bits_liq, axis=2) > 0).astype(jnp.int32)
+    return bits_any, bits_liq, nz_any, nz_liq
+
+
+# ---------------------------------------------------------------------------
+# The generic sweep kernel
+# ---------------------------------------------------------------------------
+
+class PairCtx(NamedTuple):
+    """Everything an op body sees for one (offset, rbh, rbn) pair block.
+
+    All pair arrays are (8, 8, Q): axis 0 = home slot, axis 1 = neighbor
+    slot, axis 2 = cell.  home(i)/nbr(i) return the i-th DMA'd field as
+    (8, 1, Q) / (1, 8, Q) rows ready to broadcast."""
+
+    r: tuple        # (rx, ry, rz) pair separations
+    d2: jnp.ndarray
+    mask: jnp.ndarray
+    home: tuple     # callables per field index
+    nbr: tuple
+    h: float
+
+    def dist(self):
+        return jnp.sqrt(jnp.maximum(self.d2, 0.0))
+
+    def w(self):
+        """Masked cubic W."""
+        h = self.h
+        sigma = 8.0 / (math.pi * h * h * h)
+        q = self.dist() / h
+        inner = 6.0 * q * q * q - 6.0 * q * q + 1.0
+        f = 1.0 - q
+        wk = sigma * jnp.where(q <= 0.5, inner, 2.0 * f * f * f)
+        return jnp.where(self.mask, wk, 0.0)
+
+    def gs(self):
+        """Masked gradW scalar factor (gradW = gs * r)."""
+        h = self.h
+        m_l = 48.0 / (math.pi * h * h * h)
+        dist = self.dist()
+        q = dist / h
+        inner = m_l * (3.0 * q - 2.0) / (h * h)
+        outer = -m_l * (1.0 - q) * (1.0 - q) / (jnp.maximum(dist, _EPS) * h)
+        s = jnp.where(q <= 0.5, inner, outer)
+        return jnp.where(self.mask & (dist > _EPS), s, 0.0)
+
+
+def _build_sweep(plan: _Plan, n_fields: int, field_comps, n_out: int,
+                 emit, interpret: bool):
+    """Builds the pallas_call for one op.
+
+    field_comps: list of component counts per DMA'd field; field 0 is always
+    the packed positions (3 components).  emit(ctx) -> list of n_out (8, Q)
+    contributions accumulated into the output channels.
+    """
+    C, NRB, Q, Wq, nq = plan.C, plan.NRB, plan.Q, plan.Wq, plan.nq
+    gz = plan.gz
+    # 9 static (dy, dz) lane shifts; the plane shift dx is a dynamic batch
+    # index (Mosaic requires lane-dim slice offsets to be static unless
+    # provably 128-aligned; static-unaligned is fine).
+    DYZ = [(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+
+    def kernel(nz_ref, act_ref, *refs):
+        ins = refs[:n_fields]
+        out_ref = refs[n_fields]
+        bufs = refs[n_fields + 1:n_fields + 1 + n_fields]
+        sem = refs[-1]
+        px = pl.program_id(0)
+        q = pl.program_id(1)
+
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(nz_ref[px, q] != 0)
+        def _():
+            base = q * Q
+            for f in range(n_fields):
+                for comp in range(field_comps[f]):
+                    for i in range(3):
+                        src = ins[f].at[comp, px + i, :, pl.ds(base, Wq)]
+                        dst = bufs[f].at[comp, i, :, :]
+                        cp = pltpu.make_async_copy(src, dst, sem)
+                        cp.start()
+                        cp.wait()
+
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1))
+
+            for j, (dy, dz) in enumerate(DYZ):
+                lin = _MARGIN + dy * gz + dz     # static lane offset
+                is_center_yz = (dy == 0 and dz == 0)
+
+                def dx_body(ix, _, lin=lin, j=j, is_center_yz=is_center_yz):
+                    m = act_ref[px, q, ix * 9 + j]
+
+                    @pl.when(m != 0)
+                    def _():
+                        def rb_body(rbi, _):
+                            rbh = rbi // NRB
+                            rbn = rbi - rbh * NRB
+
+                            @pl.when(((m >> (rbh * NRB + rbn)) & 1) != 0)
+                            def _():
+                                hs = pl.ds(pl.multiple_of(rbh * 8, 8), 8)
+                                ns = pl.ds(pl.multiple_of(rbn * 8, 8), 8)
+
+                                def home(f, c=0):
+                                    return bufs[f][c, 1, hs,
+                                                   _MARGIN:_MARGIN + Q][:, None, :]
+
+                                def nbr(f, c=0):
+                                    return bufs[f][c, ix, ns,
+                                                   lin:lin + Q][None, :, :]
+
+                                r = tuple(home(0, c) - nbr(0, c)
+                                          for c in range(3))
+                                d2 = r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
+                                mask = d2 <= emit.h2
+                                if is_center_yz:
+                                    self_block = (ix == 1) & (rbh == rbn)
+                                    mask = mask & ~(eye & self_block)
+                                ctx = PairCtx(r=r, d2=d2, mask=mask,
+                                              home=home, nbr=nbr, h=emit.h)
+                                for ch, val in enumerate(emit(ctx)):
+                                    cur = out_ref[0, ch, hs, :]
+                                    out_ref[0, ch, hs, :] = cur + val
+                            return 0
+
+                        jax.lax.fori_loop(0, NRB * NRB, rb_body, 0,
+                                          unroll=False)
+                    return 0
+
+                jax.lax.fori_loop(0, 3, dx_body, 0, unroll=False)
+
+    scratch = [pltpu.VMEM((field_comps[f], 3, C, Wq), jnp.float32)
+               for f in range(n_fields)]
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_fields,
+        out_specs=pl.BlockSpec((1, n_out, C, Q),
+                               lambda px, q, *_: (px, 0, 0, q)),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.gx, n_out, C, nq * Q),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Op bodies (each mirrors its dense_ops twin; reference cites live there)
+# ---------------------------------------------------------------------------
+
+class _Emit:
+    """Base: carries the static constants every body needs."""
+
+    def __init__(self, cfg: SimConfig):
+        self.cfg = cfg
+        self.h = cfg.support_radius
+        self.h2 = self.h * self.h
+
+
+class _DensityAlpha(_Emit):
+    """rho + neighbor count + DFSPH alpha sums (dense_ops.density_stats).
+    Channels: [rho_acc, count, sgx, sgy, sgz, sq]."""
+
+    n_out = 6
+    fields = ("vol", "liq")
+
+    def __call__(self, ctx: PairCtx):
+        cfg = self.cfg
+        vj = ctx.nbr(1)
+        wk = ctx.w()
+        gs = ctx.gs()
+        vgs = vj * gs
+        liq_j = ctx.nbr(2)
+        lv2 = (cfg.liquid_volume ** 2) * liq_j * gs * gs
+        return [
+            jnp.sum(vj * wk, axis=1),
+            jnp.sum(ctx.mask.astype(jnp.float32), axis=1),
+            jnp.sum(vgs * ctx.r[0], axis=1),
+            jnp.sum(vgs * ctx.r[1], axis=1),
+            jnp.sum(vgs * ctx.r[2], axis=1),
+            jnp.sum(lv2 * ctx.d2, axis=1),
+        ]
+
+
+class _KappaAcc(_Emit):
+    """acc = sum_j V_j (k_i + k_j) gs r (dense_ops.kappa_velocity_update;
+    caller applies vel + dt * acc)."""
+
+    n_out = 3
+    fields = ("vol", "k")
+
+    def __call__(self, ctx: PairCtx):
+        cfac = ctx.nbr(1) * (ctx.home(2) + ctx.nbr(2)) * ctx.gs()
+        return [jnp.sum(cfac * ctx.r[c], axis=1) for c in range(3)]
+
+
+class _DivAcc(_Emit):
+    """acc = sum_j V_j gs (v_i - v_j).r (dense_ops._div_accum)."""
+
+    n_out = 1
+    fields = ("vol", "vel3")
+
+    def __call__(self, ctx: PairCtx):
+        dv_dot = sum((ctx.home(2, c) - ctx.nbr(2, c)) * ctx.r[c]
+                     for c in range(3))
+        return [jnp.sum(ctx.nbr(1) * ctx.gs() * dv_dot, axis=1)]
+
+
+class _ViscAcc(_Emit):
+    """Viscosity matvec accumulation (dense_ops.visc_matvec; caller applies
+    x - acc * dt / rho_i).  Channels: [ax, ay, az]."""
+
+    n_out = 3
+    fields = ("xv3", "rho", "liq", "sol")
+
+    def __call__(self, ctx: PairCtx):
+        cfg = self.cfg
+        a_liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass
+        b_sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
+                 * cfg.solid_volume)
+        denom = ctx.d2 + 0.01 * self.h2
+        coeff = (ctx.nbr(3) * a_liq / ctx.nbr(2)
+                 + ctx.nbr(4) * b_sol / ctx.home(2)) / denom
+        dxr = sum((ctx.home(1, c) - ctx.nbr(1, c)) * ctx.r[c]
+                  for c in range(3))
+        cfac = coeff * dxr * ctx.gs()
+        return [jnp.sum(cfac * ctx.r[c], axis=1) for c in range(3)]
+
+
+class _ViscInit(_Emit):
+    """Fused PCG setup (dense_ops.visc_init): block-Jacobi sums + A x0.
+    Channels: [m_xx, m_xy, m_xz, m_yy, m_yz, m_zz, ax, ay, az]."""
+
+    n_out = 9
+    fields = ("xv3", "rho", "liq", "sol")
+
+    def __call__(self, ctx: PairCtx):
+        cfg = self.cfg
+        a_liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass
+        b_sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
+                 * cfg.solid_volume)
+        denom = ctx.d2 + 0.01 * self.h2
+        coeff = (ctx.nbr(3) * a_liq / ctx.nbr(2)
+                 + ctx.nbr(4) * b_sol / ctx.home(2)) / denom
+        gs = ctx.gs()
+        cg = coeff * gs
+        r = ctx.r
+        out = [jnp.sum(cg * r[a] * r[b], axis=1)
+               for (a, b) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))]
+        dxr = sum((ctx.home(1, c) - ctx.nbr(1, c)) * r[c] for c in range(3))
+        cfac = coeff * dxr * gs
+        out += [jnp.sum(cfac * r[c], axis=1) for c in range(3)]
+        return out
+
+
+class _Vorticity(_Emit):
+    """Micropolar vorticity sums (dense_ops.vorticity).  Channels:
+    [cvx, cvy, cvz,  tx, ty, tz,  sx, sy, sz] where
+      cv_c = sum_j mass_like_j cross(d_omega, r)_c gs      (d_vel side)
+      t_c  = sum_j liq_j W / rho_j * d_omega_c             (transfer)
+      s_c  = sum_j stretch_mass_j cross(d_vel, r)_c gs     (stretching)
+    The caller combines with inv_rho_i, the -1/dt transfer factor, the
+    damping term (via the density op's count) and dt."""
+
+    n_out = 9
+    fields = ("vel3", "om3", "rho", "liq", "sol")
+
+    def __call__(self, ctx: PairCtx):
+        cfg = self.cfg
+        m = cfg.liquid_mass
+        rho0vs = cfg.rest_density * cfg.solid_volume
+        rho0vl = cfg.rest_density * cfg.liquid_volume
+        liq_j = ctx.nbr(4)
+        sol_j = ctx.nbr(5)
+        gs = ctx.gs()
+        wk = ctx.w()
+        d_om = [ctx.home(2, c) - liq_j * ctx.nbr(2, c) for c in range(3)]
+        d_ve = [ctx.home(1, c) - liq_j * ctx.nbr(1, c) for c in range(3)]
+        mass_like_j = m * liq_j + rho0vs * sol_j
+        stretch_j = m * liq_j + rho0vl * sol_j
+        r = ctx.r
+        out = []
+        for c in range(3):
+            c0, c1 = (c + 1) % 3, (c + 2) % 3
+            cr_o = (d_om[c0] * r[c1] - d_om[c1] * r[c0]) * gs
+            out.append(jnp.sum(mass_like_j * cr_o, axis=1))
+        for c in range(3):
+            out.append(jnp.sum(liq_j * wk / ctx.nbr(3) * d_om[c], axis=1))
+        for c in range(3):
+            c0, c1 = (c + 1) % 3, (c + 2) % 3
+            cr_v = (d_ve[c0] * r[c1] - d_ve[c1] * r[c0]) * gs
+            out.append(jnp.sum(stretch_j * cr_v, axis=1))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Engine front end
+# ---------------------------------------------------------------------------
+
+def _interpret_default():
+    return jax.default_backend() == "cpu"
+
+
+class SweepEngine:
+    """Per-step prepared state + op entry points.
+
+    Construct once per step (after build_grid); methods pad their dynamic
+    fields and run one fused sweep each.  All inputs/outputs use the packed
+    (C, NC) / (3, C, NC) layout of grid.py.
+    """
+
+    def __init__(self, grid: DenseGrid, cfg: SimConfig,
+                 interpret: bool | None = None):
+        self.grid = grid
+        self.cfg = cfg
+        self.interpret = (_interpret_default() if interpret is None
+                          else interpret)
+        cap = grid.pid.shape[0]
+        self.plan = make_plan(cfg, cap)
+        p = self.plan
+
+        self.xp_pad = _pad_field(p, grid.xp, EMPTY_POS)
+        liq = grid.liquid.astype(jnp.float32)
+        sol = (grid.valid & ~grid.liquid).astype(jnp.float32)
+        vol = jnp.where(grid.liquid, cfg.liquid_volume,
+                        jnp.where(grid.valid, cfg.solid_volume, 0.0))
+        # every field is (ncomp, C, NX, PP); scalars get ncomp=1
+        self.liq_pad = _pad_field(p, liq, 0.0)[None]
+        self.sol_pad = _pad_field(p, sol, 0.0)[None]
+        self.vol_pad = _pad_field(p, vol, 0.0)[None]
+
+        act_any, act_liq, nz_any, nz_liq = _active_masks(p, grid)
+        self.act_any, self.act_liq = act_any, act_liq
+        self.nz_any, self.nz_liq = nz_any, nz_liq
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _pad1(self, a, fill=0.0):
+        """(C, NC) -> (1, C, NX, PP)."""
+        return _pad_field(self.plan, a, fill)[None]
+
+    def _pad3(self, a, fill=0.0):
+        """(3, C, NC) -> (3, C, NX, PP)."""
+        return _pad_field(self.plan, a, fill)
+
+    def _run(self, emit_cls, fields, liquid_gated=True):
+        emit = emit_cls(self.cfg)
+        p = self.plan
+        comps = [f.shape[0] for f in fields]
+        call = _build_sweep(p, len(fields), comps, emit.n_out, emit,
+                            self.interpret)
+        act = self.act_liq if liquid_gated else self.act_any
+        nz = self.nz_liq if liquid_gated else self.nz_any
+        out = call(nz, act, *fields)
+        return _unpad_out(p, out)
+
+    # -- ops --------------------------------------------------------------
+
+    def density_alpha(self, with_alpha: bool = True):
+        """(rho, alpha, count) — twin of dense_ops.density_stats."""
+        from .. import kernels
+        cfg = self.cfg
+        out = self._run(_DensityAlpha,
+                        [self.xp_pad, self.vol_pad, self.liq_pad],
+                        liquid_gated=False)
+        rho_acc, count = out[0], out[1]
+        w0 = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
+        rho = cfg.rest_density * (w0 + rho_acc)
+        if with_alpha:
+            sg, sq = out[2:5], out[5]
+            den = sq + sg[0] ** 2 + sg[1] ** 2 + sg[2] ** 2
+            alpha = jnp.where(den > cfg.eps, -1.0 / den, 0.0)
+        else:
+            alpha = jnp.zeros_like(rho)
+        return rho, alpha, count.astype(jnp.int32)
+
+    def kappa_velocity_update(self, velp, kp, dt):
+        acc = self._run(_KappaAcc,
+                        [self.xp_pad, self.vol_pad, self._pad1(kp)])
+        return velp + dt * acc
+
+    def div_accum(self, velp):
+        out = self._run(_DivAcc,
+                        [self.xp_pad, self.vol_pad, self._pad3(velp)])
+        return out[0]
+
+    def drho_divergence(self, velp, countp):
+        """Twin of dense_ops.drho_divergence."""
+        drho = jnp.maximum(self.div_accum(velp), 0.0)
+        return jnp.where(countp < self.cfg.min_div_neighbors, 0.0, drho)
+
+    def advected_density(self, velp, rhop, dt):
+        """Twin of dense_ops.advected_density."""
+        acc = self.div_accum(velp)
+        return jnp.maximum(rhop / self.cfg.rest_density + dt * acc, 1.0)
+
+    def visc_matvec(self, xv, rhop, dt):
+        acc = self._run(_ViscAcc,
+                        [self.xp_pad, self._pad3(xv),
+                         self._pad1(jnp.maximum(rhop, 1.0), 1.0),
+                         self.liq_pad, self.sol_pad])
+        return xv - acc * (dt / jnp.maximum(rhop, 1.0))[None]
+
+    def visc_init(self, x0, rhop, dt):
+        """(Minv: Sym3, A x0) — twin of dense_ops.visc_init."""
+        from ..utils import mat3
+        out = self._run(_ViscInit,
+                        [self.xp_pad, self._pad3(x0),
+                         self._pad1(jnp.maximum(rhop, 1.0), 1.0),
+                         self.liq_pad, self.sol_pad])
+        inv_rho = dt / jnp.maximum(rhop, 1.0)
+        a = mat3.sym3_identity_minus(mat3.Sym3(*out[:6]), inv_rho)
+        ax0 = x0 - out[6:9] * inv_rho[None]
+        return mat3.sym3_inverse(a), ax0
+
+    def vorticity(self, velp, omegap, rhop, countp, dt):
+        """(d_vel, new omega) — twin of dense_ops.vorticity."""
+        cfg = self.cfg
+        out = self._run(_Vorticity,
+                        [self.xp_pad, self._pad3(velp), self._pad3(omegap),
+                         self._pad1(jnp.maximum(rhop, 1.0), 1.0),
+                         self.liq_pad, self.sol_pad])
+        cv, tr, st = out[0:3], out[3:6], out[6:9]
+        inv_rho_i = 1.0 / jnp.maximum(rhop, 1.0)
+        c_vo, c_in = cfg.vorticity_coff, cfg.vorticity_init
+        dv = c_vo * inv_rho_i[None] * cv
+        t_coeff = (-1.0 / dt) * c_in * cfg.viscosity_omega * cfg.liquid_mass
+        damp = -2.0 * c_in * c_vo
+        dom = (t_coeff * tr
+               + c_vo * c_in * inv_rho_i[None] * st
+               + damp * omegap * countp.astype(jnp.float32)[None])
+        return dv, omegap + dom * dt

@@ -24,11 +24,16 @@ AXIS = "x"
 
 
 class NoComm:
-    """Single-device: ops see the global grid directly."""
+    """Single-device: ops see the global grid directly.
 
-    def __init__(self, grid, cfg):
+    ``engine`` (optional) is a pallas SweepEngine; when set, solvers route
+    their hot window sweeps through it instead of the XLA dense_ops path.
+    Engine sweeps are single-device (SlabComm keeps engine=None)."""
+
+    def __init__(self, grid, cfg, engine=None):
         self.grid = grid
         self.cfg = cfg
+        self.engine = engine
         self._liq = grid.liquid
 
     def lift(self, q, fill=0.0):
@@ -69,6 +74,7 @@ class SlabComm:
                  axis: str = AXIS):
         self.grid = ext_grid
         self.cfg = ext_cfg
+        self.engine = None
         self._liq = slab_grid.liquid
         self._plane = plane
         self._axis = axis

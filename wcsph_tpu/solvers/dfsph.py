@@ -63,13 +63,20 @@ def divergence_solve(comm, velp, kvp, alphap, cntp, dt) -> _SolveResult:
     rho0 = cfg.rest_density
     cnt_l = comm.lift(cntp, 0)
 
-    def drho_of(velp):
-        return comm.lower(dense_ops.drho_divergence(
-            comm.grid, cfg, comm.lift(velp), cnt_l))
+    if comm.engine is not None:
+        def drho_of(velp):
+            return comm.engine.drho_divergence(velp, cntp)
 
-    def kappa_update(velp, k):
-        return comm.lower(dense_ops.kappa_velocity_update(
-            comm.grid, cfg, comm.lift(velp), comm.lift(k), dt))
+        def kappa_update(velp, k):
+            return comm.engine.kappa_velocity_update(velp, k, dt)
+    else:
+        def drho_of(velp):
+            return comm.lower(dense_ops.drho_divergence(
+                comm.grid, cfg, comm.lift(velp), cnt_l))
+
+        def kappa_update(velp, k):
+            return comm.lower(dense_ops.kappa_velocity_update(
+                comm.grid, cfg, comm.lift(velp), comm.lift(k), dt))
 
     if cfg.divergence_warm_start:
         # warmstart_divergence_vel (dfsph.py:415-439)
@@ -109,13 +116,20 @@ def pressure_solve(comm, velp, kp, alphap, rhop, dt) -> _SolveResult:
     rho0 = cfg.rest_density
     rho_l = comm.lift(rhop, 1.0)
 
-    def adv_of(velp):
-        return comm.lower(dense_ops.advected_density(
-            comm.grid, cfg, comm.lift(velp), rho_l, dt))
+    if comm.engine is not None:
+        def adv_of(velp):
+            return comm.engine.advected_density(velp, rhop, dt)
 
-    def kappa_update(velp, k):
-        return comm.lower(dense_ops.kappa_velocity_update(
-            comm.grid, cfg, comm.lift(velp), comm.lift(k), dt))
+        def kappa_update(velp, k):
+            return comm.engine.kappa_velocity_update(velp, k, dt)
+    else:
+        def adv_of(velp):
+            return comm.lower(dense_ops.advected_density(
+                comm.grid, cfg, comm.lift(velp), rho_l, dt))
+
+        def kappa_update(velp, k):
+            return comm.lower(dense_ops.kappa_velocity_update(
+                comm.grid, cfg, comm.lift(velp), comm.lift(k), dt))
 
     if cfg.pressure_warm_start:
         # Intended SPlisHSPlasH warm start.  The reference's version is inert:
@@ -172,10 +186,13 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
                 last_pressure_iters) -> MidResult:
     """The whole per-step solve in packed space, comm-parameterized
     (everything between sort/pack and unpack/position-update)."""
-    stats = dense_ops.density_stats(comm.grid, comm.cfg, with_alpha=True)
-    rhop = comm.lower(stats.rho)
-    alphap = comm.lower(stats.alpha)
-    cntp = comm.lower(stats.count)
+    if comm.engine is not None:
+        rhop, alphap, cntp = comm.engine.density_alpha()
+    else:
+        stats = dense_ops.density_stats(comm.grid, comm.cfg, with_alpha=True)
+        rhop = comm.lower(stats.rho)
+        alphap = comm.lower(stats.alpha)
+        cntp = comm.lower(stats.count)
 
     div = divergence_solve(comm, velp, kvp, alphap, cntp, dt)
     velp = div.vel
@@ -192,7 +209,12 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
     visc = viscosity.solve_dense(comm, velp, vgp, rhop, dt)
     d_vel = d_vel + (visc.vel_new - velp) / dt          # end_viscosity
     if cfg.enable_vorticity:
-        dv_vort, omegap = dense_ops.vorticity_comm(comm, velp, omegap, rhop, dt)
+        if comm.engine is not None:
+            dv_vort, omegap = comm.engine.vorticity(velp, omegap, rhop,
+                                                    cntp, dt)
+        else:
+            dv_vort, omegap = dense_ops.vorticity_comm(comm, velp, omegap,
+                                                       rhop, dt)
         d_vel = d_vel + dv_vort
 
     # --- adaptive dt (dfsph.py:107-129): CFL from old dt, iteration feedback
@@ -223,7 +245,12 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     grid = build_grid(state.pos, nl, cfg)
-    comm = NoComm(grid, cfg)
+    if cfg.use_pallas:
+        from ..pallas.engine import SweepEngine
+
+        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+    else:
+        comm = NoComm(grid, cfg)
 
     mid = step_middle(
         comm, cfg,

@@ -122,20 +122,27 @@ def solve_dense(comm, velp: jnp.ndarray, vel_guessp: jnp.ndarray,
     from . import dense_ops
 
     cfg = comm.cfg
-    rho_l = comm.lift(rhop, 1.0)
-    rho_pad = dense_ops.WindowLoop(comm.grid, cfg).pad(rho_l, 1.0)
     liq3 = comm._liq[None]
-
-    def mv(x):
-        return comm.lower(dense_ops.visc_matvec(
-            comm.grid, cfg, comm.lift(x), rho_l, rho_pad, dt))
-
     x0 = vel_guessp + velp                     # warm start (dfsph.py:199-200)
-    # fused setup: preconditioner + A x0 share one window scan
-    minv_e, ax0_e = dense_ops.visc_init(comm.grid, cfg, comm.lift(x0),
-                                        rho_l, rho_pad, dt)
-    minv = mat3.Sym3(*[comm.lower(c) for c in minv_e])
-    ax0 = comm.lower(ax0_e)
+
+    if comm.engine is not None:
+        def mv(x):
+            return comm.engine.visc_matvec(x, rhop, dt)
+
+        minv, ax0 = comm.engine.visc_init(x0, rhop, dt)
+    else:
+        rho_l = comm.lift(rhop, 1.0)
+        rho_pad = dense_ops.WindowLoop(comm.grid, cfg).pad(rho_l, 1.0)
+
+        def mv(x):
+            return comm.lower(dense_ops.visc_matvec(
+                comm.grid, cfg, comm.lift(x), rho_l, rho_pad, dt))
+
+        # fused setup: preconditioner + A x0 share one window scan
+        minv_e, ax0_e = dense_ops.visc_init(comm.grid, cfg, comm.lift(x0),
+                                            rho_l, rho_pad, dt)
+        minv = mat3.Sym3(*[comm.lower(c) for c in minv_e])
+        ax0 = comm.lower(ax0_e)
 
     def precond(r):
         # Sym3.matvec expects (3, N); flatten packed dims
