@@ -29,10 +29,13 @@ def build_sim(n_side: int, solver: str = "dfsph"):
     sc = dam_break(particle_radius=r, fluid_dims=(n_side, n_side, n_side),
                    box_extent=extent)
     lo, hi = sc.domain(pad=6 * r)
-    # the Mosaic loop-sweep kernels win at 1M (HBM-bound XLA sweeps) but
-    # lose at 100k (dispatch/window overhead) — enable by scale
+    # The Mosaic sweep engine (pallas/engine.py) wins at every scale on TPU.
+    # Rank-blocked capacity makes C=24 nearly free at rest, so the engine
+    # path also runs overflow-free (the XLA path default stays C=16).
+    use_pallas = solver == "dfsph"
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
-                         domain_max=hi, use_pallas=n_side >= 100)
+                         domain_max=hi, use_pallas=use_pallas,
+                         cell_capacity=24 if use_pallas else 16)
     return Simulation(sc, cfg, solver=solver)
 
 

@@ -134,6 +134,52 @@ def test_full_dfsph_step_sharded_matches_single(mesh8):
     assert int(s_shard.diag.divergence_iters) == int(s_single.diag.divergence_iters)
 
 
+def test_iisph_step_sharded_matches_single(mesh8):
+    """Sharded IISPH (viscosity PCG + Jacobi loop under slabs) == single."""
+    from wcsph_tpu.simulation import default_config as dc
+    from wcsph_tpu.solvers import iisph
+    from wcsph_tpu.state import init_state
+
+    sc = scene.dam_break(particle_radius=R, fluid_dims=(6, 6, 6),
+                         box_extent=0.7)
+    lo, hi = sc.domain(pad=4 * R)
+    cfg = halo.slab_config(dc("iisph", particle_radius=R, domain_min=lo,
+                              domain_max=hi), 8)
+    state = init_state(sc, cfg)
+    mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+    s1, s2 = state, state
+    for _ in range(3):
+        s1 = jax.jit(lambda s: iisph.step(s, cfg))(s1)
+        s2 = jax.jit(lambda s: halo.iisph_step_sharded(s, cfg, mesh))(s2)
+    assert int(s2.diag.pressure_iters) == int(s1.diag.pressure_iters)
+    np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(s1.pos),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.pressure),
+                               np.asarray(s1.pressure), rtol=2e-3, atol=1e-2)
+
+
+def test_pcisph_step_sharded_matches_single(mesh8):
+    """Sharded PCISPH (prediction loop under slabs) == single."""
+    from wcsph_tpu.simulation import default_config as dc
+    from wcsph_tpu.solvers import pcisph
+    from wcsph_tpu.state import init_state
+
+    sc = scene.dam_break(particle_radius=R, fluid_dims=(6, 6, 6),
+                         box_extent=0.7)
+    lo, hi = sc.domain(pad=4 * R)
+    cfg = halo.slab_config(dc("pcisph", particle_radius=R, domain_min=lo,
+                              domain_max=hi), 8)
+    state = init_state(sc, cfg)
+    mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+    s1, s2 = state, state
+    for _ in range(2):
+        s1 = jax.jit(lambda s: pcisph.step(s, cfg))(s1)
+        s2 = jax.jit(lambda s: halo.pcisph_step_sharded(s, cfg, mesh))(s2)
+    assert int(s2.diag.pressure_iters) == int(s1.diag.pressure_iters)
+    np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(s1.pos),
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_sesph_step_sharded_matches_single(mesh8):
     from wcsph_tpu.simulation import default_config as dc
     from wcsph_tpu.solvers import sesph

@@ -177,6 +177,83 @@ def dfsph_step_sharded(state: FluidState, cfg: SimConfig, mesh: Mesh) -> FluidSt
     )
 
 
+def iisph_step_sharded(state: FluidState, cfg: SimConfig, mesh: Mesh) -> FluidState:
+    """IISPH step with the whole solve middle under slab decomposition
+    (density, viscosity PCG, advection coefficients, relaxed-Jacobi loop,
+    pressure force), one halo exchange per lifted quantity per sweep."""
+    from ..solvers import iisph
+
+    n = mesh.devices.size
+    assert cfg.grid_res[0] % n == 0, "use slab_config() to pad the domain"
+    nl = state.n_liquid
+    grid = build_grid(state.pos, nl, cfg)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                       P(None, None, AXIS),
+                       P(None, None, AXIS), P(None, None, AXIS),
+                       P(None, AXIS), P()),
+             out_specs=(P(None, None, AXIS), P(None, AXIS),
+                        P(None, None, AXIS), P(), P(), P()),
+             check_vma=False)
+    def middle(pid, valid, liquid, xp, velp, vgp, pp, dt):
+        comm = _make_slab_comm(pid, valid, liquid, xp, cfg, n)
+        m = iisph.step_middle(comm, cfg, velp, vgp, pp, dt)
+        return m.vel, m.pressure, m.delta_v, m.iters, m.visc_iters, m.err
+
+    velp, pp, dvp, iters, visc_iters, err = middle(
+        grid.pid, grid.valid, grid.liquid, grid.xp,
+        pack_liquid(grid, state.vel), pack_liquid(grid, state.vel_guess),
+        pack_liquid(grid, state.pressure), state.dt)
+
+    vel = unpack_liquid(grid, velp, state.vel)
+    pos = state.pos.at[:, :nl].add(vel * state.dt)
+    diag = StepDiagnostics(
+        pressure_iters=iters, viscosity_iters=visc_iters, density_error=err,
+        neighbor_overflow=grid.overflow,
+        vel_max=jnp.sqrt(jnp.max(jnp.sum(vel ** 2, axis=0))))
+    return state.replace(
+        pos=pos, vel=vel,
+        pressure=unpack_liquid(grid, pp, state.pressure),
+        vel_guess=unpack_liquid(grid, dvp, state.vel_guess),
+        time=state.time + state.dt, diag=diag)
+
+
+def pcisph_step_sharded(state: FluidState, cfg: SimConfig, mesh: Mesh) -> FluidState:
+    """PCISPH step with the prediction loop under slab decomposition."""
+    from ..solvers import pcisph
+
+    n = mesh.devices.size
+    assert cfg.grid_res[0] % n == 0, "use slab_config() to pad the domain"
+    nl = state.n_liquid
+    grid = build_grid(state.pos, nl, cfg)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                       P(None, None, AXIS), P(None, None, AXIS), P()),
+             out_specs=(P(None, None, AXIS), P(None, AXIS), P(), P()),
+             check_vma=False)
+    def middle(pid, valid, liquid, xp, velp, dt):
+        comm = _make_slab_comm(pid, valid, liquid, xp, cfg, n)
+        m = pcisph.step_middle(comm, cfg, velp, dt)
+        return m.vel, m.pressure, m.iters, m.err
+
+    velp, pp, iters, err = middle(
+        grid.pid, grid.valid, grid.liquid, grid.xp,
+        pack_liquid(grid, state.vel), state.dt)
+
+    vel = unpack_liquid(grid, velp, state.vel)
+    pos = state.pos.at[:, :nl].add(vel * state.dt)
+    diag = StepDiagnostics(
+        pressure_iters=iters, density_error=err,
+        neighbor_overflow=grid.overflow,
+        vel_max=jnp.sqrt(jnp.max(jnp.sum(vel ** 2, axis=0))))
+    return state.replace(
+        pos=pos, vel=vel,
+        pressure=unpack_liquid(grid, pp, state.pressure),
+        time=state.time + state.dt, diag=diag)
+
+
 def sesph_step_sharded(state: FluidState, cfg: SimConfig, mesh: Mesh) -> FluidState:
     """SESPH step with the sweep middle under slab decomposition."""
     from ..solvers import sesph

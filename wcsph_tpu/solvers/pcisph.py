@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -111,30 +112,42 @@ def _predicted_density_and_accel(grid, cfg, xstar, pp):
     return adv, acc
 
 
-def step(state: FluidState, cfg: SimConfig) -> FluidState:
-    nl = state.n_liquid
-    dt = state.dt
+class MidResult(NamedTuple):
+    vel: jnp.ndarray          # packed, owned layout
+    pressure: jnp.ndarray
+    iters: jnp.ndarray
+    err: jnp.ndarray
+
+
+def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
+    """Whole PCISPH solve in packed space, comm-parameterized; array args in
+    OWNED layout (parallel/comm.py)."""
     coff = pci_coefficient(cfg.particle_radius)
-    grid = build_grid(state.pos, nl, cfg)
+    grid = comm.grid
 
     # non-pressure forces + density (pcisph.py:199-218)
-    stats = dense_ops.density_stats(grid, cfg, with_alpha=False)
-    rhop = stats.rho
-    velp = pack_liquid(grid, state.vel)
+    stats = dense_ops.density_stats(grid, comm.cfg, with_alpha=False)
+    rhop_l = comm.lift(comm.lower(stats.rho), 1.0)
+    velp_l = comm.lift(velp)
     gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
-    d_vel = gvec + dense_ops.explicit_viscosity_accel(grid, cfg, velp, rhop)
+    d_vel = gvec + comm.lower(
+        dense_ops.explicit_viscosity_accel(grid, comm.cfg, velp_l, rhop_l))
 
-    n_liq = jnp.sum(grid.liquid).astype(jnp.float32)
-    zero1 = jnp.zeros(grid.pid.shape, jnp.float32)
+    n_liq = comm.n_liquid()
+    zero1 = jnp.zeros_like(velp[0])
 
     def body(carry):
         d_vel_pre, pp, err, it = carry
         vel_star = velp + (d_vel + d_vel_pre) * dt      # pcisph.py:228-235
-        xstar = grid.xp + jnp.where(grid.liquid[None], vel_star * dt, 0.0)
-        adv, _ = _predicted_density_and_accel(grid, cfg, xstar, pp)
+        vel_star_l = comm.lift(vel_star)
+        xstar = grid.xp + jnp.where(grid.liquid[None], vel_star_l * dt, 0.0)
+        pp_l = comm.lift(pp)
+        adv, _ = _predicted_density_and_accel(grid, comm.cfg, xstar, pp_l)
+        adv = comm.lower(adv)
         pp = pp + coff * (adv - 1.0) / (dt * dt)        # pcisph.py:255
-        _, d_vel_pre = _predicted_density_and_accel(grid, cfg, xstar, pp)
-        err = dense_ops.liquid_sum(grid, adv - 1.0) / n_liq
+        _, acc = _predicted_density_and_accel(grid, comm.cfg, xstar, comm.lift(pp))
+        d_vel_pre = comm.lower(acc)
+        err = comm.lsum(adv - 1.0) / n_liq
         return d_vel_pre, pp, err, it + 1
 
     def cond(carry):
@@ -143,9 +156,23 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
             & (it < cfg.pcisph_max_iters)
 
     d_vel_pre, pp, err, iters = jax.lax.while_loop(
-        cond, body, (jnp.zeros_like(velp), zero1, jnp.float32(1.0), jnp.int32(0)))
+        cond, body, (jnp.zeros_like(velp), zero1, jnp.float32(1.0),
+                     jnp.int32(0)))
 
     velp = velp + (d_vel + d_vel_pre) * dt              # pcisph.py:281-285
+    return MidResult(vel=velp, pressure=pp, iters=iters, err=err)
+
+
+def step(state: FluidState, cfg: SimConfig) -> FluidState:
+    nl = state.n_liquid
+    dt = state.dt
+    grid = build_grid(state.pos, nl, cfg)
+    from ..parallel.comm import NoComm
+
+    mid = step_middle(NoComm(grid, cfg), cfg, pack_liquid(grid, state.vel),
+                      dt)
+    pp, iters, err = mid.pressure, mid.iters, mid.err
+    velp = mid.vel
     vel = unpack_liquid(grid, velp, state.vel)
     pos = state.pos.at[:, :nl].add(vel * dt)
 
