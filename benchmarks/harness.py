@@ -1,0 +1,210 @@
+"""Reproducible benchmark + parity harness (SURVEY.md §7 step 8).
+
+One command regenerates the VALIDATION.md tables:
+
+  python benchmarks/harness.py --suite all --out benchmarks/results.json
+
+Suites:
+  iters       - per-solver iteration-count / density-error parity on the
+                canonical dam-break (reference defaults: 20^3 fluid, 2.0 box;
+                sesph.py:29-38, dfsph.py:59-82) and on a VIOLENT scene (tall
+                thin column) that forces the pressure solvers off their
+                minimum iteration counts — the stronger parity check asked
+                for in VERDICT.md (weak #5).
+  throughput  - particle-steps/s per solver per scale (defaults 8k/100k; add
+                --scales 100 for the 1M flagship point, ~minutes of compile).
+
+Reference bands come from the solver tolerances/caps (SURVEY.md §6): the
+reference itself publishes no numbers (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+BANDS = {
+    # solver: (tolerance, min_iters, max_iters)  [SURVEY.md §6]
+    "dfsph": (1e-3, 2, 100),
+    "iisph": (1e-3, 2, 100),
+    "pcisph": (1e-2, 3, 50),
+    "sesph": (None, None, None),
+}
+
+
+def _build(solver: str, scene: str, side: int = 20, use_pallas: bool = False):
+    from wcsph_tpu import dam_break
+    from wcsph_tpu.simulation import Simulation, default_config
+
+    r = 0.025
+    spacing = 2 * r
+    if scene == "canonical":
+        sc = dam_break(particle_radius=r, fluid_dims=(side, side, side),
+                       box_extent=max(2.0, side * spacing * 1.35))
+    elif scene == "violent":
+        # tall thin column dropped from the top of the box: the impact keeps
+        # the density error above tolerance for several iterations per step
+        fd = (10, 36, 10)                       # 1.8-high column
+        ext = fd[1] * spacing * 1.25            # 2.25 box
+        sc = dam_break(particle_radius=r, fluid_dims=fd, box_extent=ext,
+                       fluid_origin=(-0.5 * fd[0] * spacing + r,
+                                     0.5 * ext - fd[1] * spacing - 2 * spacing,
+                                     -0.5 * fd[2] * spacing + r))
+    else:
+        raise ValueError(scene)
+    lo, hi = sc.domain(pad=6 * r)
+    cfg = default_config(solver, particle_radius=r, domain_min=lo,
+                         domain_max=hi, use_pallas=use_pallas,
+                         cell_capacity=24 if use_pallas else 16)
+    return Simulation(sc, cfg, solver=solver)
+
+
+def run_iters(solvers, steps: int, scene: str) -> list[dict]:
+    rows = []
+    for solver in solvers:
+        sim = _build(solver, scene)
+        t0 = time.time()
+        stats = {"pressure": [], "divergence": [], "viscosity": [],
+                 "err": [], "dt": []}
+        chunk = 10
+        for _ in range(steps // chunk):
+            sim.run(chunk)
+            tel = sim.telemetry()
+            stats["pressure"].append(tel.get("pressure_iters", 0))
+            stats["divergence"].append(tel.get("divergence_iters", 0))
+            stats["viscosity"].append(tel.get("viscosity_iters", 0))
+            stats["err"].append(tel.get("density_error", 0.0))
+            stats["dt"].append(tel["dt"])
+        sim.check_health()
+        tol, lo_i, hi_i = BANDS[solver]
+        pr = stats["pressure"]
+        row = {
+            "solver": solver,
+            "scene": scene,
+            "steps": steps,
+            "sim_time": float(sim.state.time),
+            "pressure_iters": [int(min(pr)), int(max(pr))] if pr else None,
+            "divergence_iters": [int(min(stats["divergence"])),
+                                 int(max(stats["divergence"]))],
+            "viscosity_iters": [int(min(stats["viscosity"])),
+                                int(max(stats["viscosity"]))],
+            "max_density_error": float(max(stats["err"])),
+            "wall_s": round(time.time() - t0, 2),
+            "in_band": bool(
+                tol is None
+                or (max(stats["err"]) <= 5 * tol
+                    and min(pr) >= lo_i and max(pr) <= hi_i)),
+        }
+        rows.append(row)
+        print(f"[iters] {json.dumps(row)}", file=sys.stderr)
+    return rows
+
+
+def run_throughput(solvers, scales, steps: int, warmup: int) -> list[dict]:
+    rows = []
+    for solver in solvers:
+        for side in scales:
+            use_pallas = solver == "dfsph" and side >= 40
+            sim = _build(solver, "canonical", side=side,
+                         use_pallas=use_pallas)
+            nl = sim.state.n_liquid
+            for _ in range(warmup):
+                sim.step()
+            np.asarray(sim.state.pos.ravel()[0])
+            t0 = time.time()
+            for _ in range(steps):
+                sim.step()
+            np.asarray(sim.state.pos.ravel()[0])
+            el = time.time() - t0
+            sim.check_health()
+            row = {
+                "solver": solver,
+                "n_liquid": int(nl),
+                "particle_steps_per_s": nl * steps / el,
+                "step_ms": el / steps * 1e3,
+                "use_pallas": use_pallas,
+                "overflow": int(sim.telemetry()["neighbor_overflow"]),
+            }
+            rows.append(row)
+            print(f"[throughput] {json.dumps(row)}", file=sys.stderr)
+    return rows
+
+
+def to_markdown(result: dict) -> str:
+    out = ["# Benchmark results (benchmarks/harness.py)", ""]
+    if result.get("iters"):
+        out += ["## Iteration-count / density-error parity", "",
+                "| solver | scene | steps | sim time | pressure iters "
+                "| div iters | visc iters | max density err | in band |",
+                "|---|---|---|---|---|---|---|---|---|"]
+        for r in result["iters"]:
+            pi = "-".join(map(str, r["pressure_iters"])) \
+                if r["pressure_iters"] else "—"
+            out.append(
+                f"| {r['solver']} | {r['scene']} | {r['steps']} "
+                f"| {r['sim_time']:.3f} | {pi} "
+                f"| {'-'.join(map(str, r['divergence_iters']))} "
+                f"| {'-'.join(map(str, r['viscosity_iters']))} "
+                f"| {r['max_density_error']:.2e} "
+                f"| {'yes' if r['in_band'] else 'NO'} |")
+        out.append("")
+    if result.get("throughput"):
+        out += ["## Throughput", "",
+                "| solver | particles | particle-steps/s | step ms "
+                "| engine | overflow |", "|---|---|---|---|---|---|"]
+        for r in result["throughput"]:
+            out.append(
+                f"| {r['solver']} | {r['n_liquid']} "
+                f"| {r['particle_steps_per_s']:.3e} | {r['step_ms']:.1f} "
+                f"| {'pallas' if r['use_pallas'] else 'xla'} "
+                f"| {r['overflow']} |")
+        out.append("")
+    return "\n".join(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", default="all",
+                    choices=["all", "iters", "throughput"])
+    ap.add_argument("--solvers", default="dfsph,sesph,pcisph,iisph")
+    ap.add_argument("--scales", default="20,47",
+                    help="fluid cube sides for throughput (47~100k, 100=1M)")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--bench-steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--out", default="benchmarks/results.json")
+    ap.add_argument("--md", default="benchmarks/RESULTS.md")
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    solvers = args.solvers.split(",")
+    scales = [int(s) for s in args.scales.split(",")]
+    result = {"backend": jax.default_backend()}
+    if args.suite in ("all", "iters"):
+        result["iters"] = (run_iters(solvers, args.steps, "canonical")
+                           + run_iters(solvers, args.steps, "violent"))
+    if args.suite in ("all", "throughput"):
+        result["throughput"] = run_throughput(solvers, scales,
+                                              args.bench_steps, args.warmup)
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    with open(args.md, "w") as f:
+        f.write(to_markdown(result))
+    print(f"wrote {args.out} and {args.md}")
+
+
+if __name__ == "__main__":
+    main()

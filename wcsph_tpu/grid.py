@@ -103,8 +103,15 @@ def build_grid(pos: jnp.ndarray, n_liquid: int, cfg: SimConfig) -> DenseGrid:
     flat_slot = rank * nc + jnp.minimum(sorted_cell, nc)
     ok = (rank < cap) & (sorted_cell < nc)
     sl = jnp.where(ok, flat_slot, cap * nc)
-    xp = jnp.full((3, cap * nc), EMPTY_POS, jnp.float32)
-    xp = xp.at[:, sl].set(pos[:, order], mode="drop").reshape(3, cap, nc)
+    # one scalar scatter per component: XLA lowers a leading-dense-dim
+    # scatter (.at[:, sl]) ~15x slower than 3 scalar scatters (measured
+    # 100 ms vs 3x7 ms at 1M on v5e; scripts/prim_perf.py)
+    pos_sorted = pos[:, order]
+    xp = jnp.stack([
+        jnp.full((cap * nc,), EMPTY_POS, jnp.float32)
+        .at[sl].set(pos_sorted[c], mode="drop")
+        for c in range(3)
+    ]).reshape(3, cap, nc)
 
     slot_all = jnp.full((n,), -1, jnp.int32)
     slot_all = slot_all.at[order].set(jnp.where(ok, flat_slot, -1))
@@ -133,8 +140,65 @@ def pack_liquid(grid: DenseGrid, x: jnp.ndarray, fill: float = 0.0) -> jnp.ndarr
     if x.ndim == 1:
         flat = jnp.full((cap * nc,), fill, x.dtype)
         return flat.at[sl].set(x, mode="drop").reshape(cap, nc)
-    flat = jnp.full((x.shape[0], cap * nc), fill, x.dtype)
-    return flat.at[:, sl].set(x, mode="drop").reshape(x.shape[0], cap, nc)
+    # per-component scalar scatters (leading-dense-dim scatter is ~15x
+    # slower on TPU; see build_grid / scripts/prim_perf.py)
+    return jnp.stack([
+        jnp.full((cap * nc,), fill, x.dtype).at[sl].set(x[c], mode="drop")
+        for c in range(x.shape[0])
+    ]).reshape(x.shape[0], cap, nc)
+
+
+def pack_liquid_many(grid: DenseGrid, fields, fill: float = 0.0):
+    """Pack several per-liquid fields at once via ONE stacked gather.
+
+    ``fields``: sequence of (NL,) or (k, NL) arrays.  Returns matching packed
+    (C, NC) / (k, C, NC) arrays.  A single leading-dim gather through
+    grid.pid costs nearly the same as a scalar one (~55 ms for 11 components
+    at 1M on v5e vs ~10 ms/component for scatters; scripts/prim_perf2.py),
+    so batching every field into one gather is the cheapest pack there is.
+    """
+    cap, nc = grid.pid.shape
+    parts = []
+    sizes = []
+    for x in fields:
+        x2 = x[None] if x.ndim == 1 else x
+        parts.append(x2)
+        sizes.append(x2.shape[0])
+    stacked = jnp.concatenate(parts, axis=0)               # (K, NL)
+    idx = jnp.maximum(grid.pid, 0).ravel()                 # (C*NC,)
+    got = stacked[:, idx].reshape(len(stacked), cap, nc)
+    got = jnp.where(grid.liquid[None], got, fill)
+    out = []
+    o = 0
+    for x, k in zip(fields, sizes):
+        sl = got[o:o + k]
+        out.append(sl[0] if x.ndim == 1 else sl)
+        o += k
+    return out
+
+
+def unpack_liquid_many(grid: DenseGrid, packed, defaults):
+    """Unpack several packed fields at once via ONE stacked slot gather.
+    Dropped particles (slot == -1) keep their ``defaults`` entry."""
+    parts = []
+    sizes = []
+    for xp in packed:
+        x2 = xp.reshape((1, -1) if xp.ndim == 2 else (xp.shape[0], -1))
+        parts.append(x2)
+        sizes.append(x2.shape[0])
+    stacked = jnp.concatenate(parts, axis=0)               # (K, C*NC)
+    keep = grid.slot >= 0
+    got = stacked[:, jnp.maximum(grid.slot, 0)]            # (K, NL)
+    out = []
+    o = 0
+    for xp, d, k in zip(packed, defaults, sizes):
+        sl = got[o:o + k]
+        if xp.ndim == 2:
+            out.append(jnp.where(keep, sl[0], d))
+        else:
+            out.append(jnp.where(keep[None], sl, d))
+        o += k
+    return out
 
 
 def unpack_liquid(grid: DenseGrid, xp: jnp.ndarray,

@@ -233,14 +233,20 @@ def _build_sweep(plan: _Plan, n_fields: int, field_comps, n_out: int,
         @pl.when(nz_ref[px, q] != 0)
         def _():
             base = q * Q
+            # issue every row copy up front, then wait once per copy: the
+            # DMAs overlap instead of serializing their ~us issue latencies
+            # (15-36 copies per program; this is worth ~30-40% of sweep time)
+            copies = []
             for f in range(n_fields):
                 for comp in range(field_comps[f]):
                     for i in range(3):
                         src = ins[f].at[comp, px + i, :, pl.ds(base, Wq)]
                         dst = bufs[f].at[comp, i, :, :]
-                        cp = pltpu.make_async_copy(src, dst, sem)
-                        cp.start()
-                        cp.wait()
+                        copies.append(pltpu.make_async_copy(src, dst, sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
 
             eye = (jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
                    == jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1))

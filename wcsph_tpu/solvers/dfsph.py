@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .. import dense_ops, viscosity
 from ..config import SimConfig
-from ..grid import build_grid, pack_liquid, unpack_liquid
+from ..grid import (build_grid, pack_liquid_many, unpack_liquid_many)
 from ..parallel.comm import NoComm
 from ..state import FluidState, StepDiagnostics
 
@@ -252,17 +252,17 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     else:
         comm = NoComm(grid, cfg)
 
-    mid = step_middle(
-        comm, cfg,
-        pack_liquid(grid, state.vel),
-        pack_liquid(grid, state.omega),
-        pack_liquid(grid, state.vel_guess),
-        pack_liquid(grid, state.kappa),
-        pack_liquid(grid, state.kappa_v),
-        state.dt, state.last_pressure_iters)
+    packed = pack_liquid_many(grid, [state.vel, state.omega,
+                                     state.vel_guess, state.kappa,
+                                     state.kappa_v])
+    mid = step_middle(comm, cfg, *packed,
+                      state.dt, state.last_pressure_iters)
 
     # --- unpack + position update (dropped/overflow particles keep state) ---
-    vel = unpack_liquid(grid, mid.vel, state.vel)
+    vel, omega, vel_guess, kappa, kappa_v = unpack_liquid_many(
+        grid, [mid.vel, mid.omega, mid.vel_guess, mid.kappa, mid.kappa_v],
+        [state.vel, state.omega, state.vel_guess, state.kappa,
+         state.kappa_v])
     pos = state.pos.at[:, :nl].add(vel * mid.new_dt)    # update_pos
 
     diag = StepDiagnostics(
@@ -276,10 +276,10 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     return state.replace(
         pos=pos,
         vel=vel,
-        omega=unpack_liquid(grid, mid.omega, state.omega),
-        vel_guess=unpack_liquid(grid, mid.vel_guess, state.vel_guess),
-        kappa=unpack_liquid(grid, mid.kappa, state.kappa),
-        kappa_v=unpack_liquid(grid, mid.kappa_v, state.kappa_v),
+        omega=omega,
+        vel_guess=vel_guess,
+        kappa=kappa,
+        kappa_v=kappa_v,
         dt=mid.new_dt,
         time=state.time + mid.new_dt,
         last_visc_iters=mid.visc_iters,

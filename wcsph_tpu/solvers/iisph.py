@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .. import dense_ops, viscosity
 from ..config import SimConfig
-from ..grid import build_grid, pack_liquid, unpack_liquid
+from ..grid import build_grid, pack_liquid_many, unpack_liquid_many
 from ..parallel.comm import NoComm
 from ..state import FluidState, StepDiagnostics
 
@@ -202,12 +202,13 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     grid = build_grid(state.pos, nl, cfg)
     comm = NoComm(grid, cfg)
 
-    mid = step_middle(comm, cfg,
-                      pack_liquid(grid, state.vel),
-                      pack_liquid(grid, state.vel_guess),
-                      pack_liquid(grid, state.pressure), dt)
+    packed = pack_liquid_many(grid, [state.vel, state.vel_guess,
+                                     state.pressure])
+    mid = step_middle(comm, cfg, *packed, dt)
 
-    vel = unpack_liquid(grid, mid.vel, state.vel)
+    vel, pressure, vel_guess = unpack_liquid_many(
+        grid, [mid.vel, mid.pressure, mid.delta_v],
+        [state.vel, state.pressure, state.vel_guess])
     pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
@@ -220,8 +221,6 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
             0.0)),
     )
     return state.replace(pos=pos, vel=vel,
-                         pressure=unpack_liquid(grid, mid.pressure,
-                                                state.pressure),
-                         vel_guess=unpack_liquid(grid, mid.delta_v,
-                                                 state.vel_guess),
+                         pressure=pressure,
+                         vel_guess=vel_guess,
                          time=state.time + dt, diag=diag)

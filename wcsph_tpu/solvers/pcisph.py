@@ -27,7 +27,7 @@ import numpy as np
 
 from .. import dense_ops, kernels
 from ..config import SimConfig
-from ..grid import build_grid, pack_liquid, unpack_liquid
+from ..grid import build_grid, pack_liquid, unpack_liquid_many
 from ..state import FluidState, StepDiagnostics
 
 
@@ -173,7 +173,8 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
                       dt)
     pp, iters, err = mid.pressure, mid.iters, mid.err
     velp = mid.vel
-    vel = unpack_liquid(grid, velp, state.vel)
+    vel, pressure = unpack_liquid_many(grid, [velp, pp],
+                                       [state.vel, state.pressure])
     pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
@@ -184,5 +185,5 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
             dense_ops.liquid_max(grid, jnp.sum(velp * velp, axis=0)), 0.0)),
     )
     return state.replace(pos=pos, vel=vel,
-                         pressure=unpack_liquid(grid, pp, state.pressure),
+                         pressure=pressure,
                          time=state.time + dt, diag=diag)
