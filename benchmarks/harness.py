@@ -193,8 +193,12 @@ def main():
     scales = [int(s) for s in args.scales.split(",")]
     result = {"backend": jax.default_backend()}
     if args.suite in ("all", "iters"):
+        # the violent column needs ~0.25 s of free fall before impact; run it
+        # long enough (>= 800 fixed-dt steps) that the max-iteration samples
+        # cover the impact and collapse, not just the fall
         result["iters"] = (run_iters(solvers, args.steps, "canonical")
-                           + run_iters(solvers, args.steps, "violent"))
+                           + run_iters(solvers, max(args.steps, 800),
+                                       "violent"))
     if args.suite in ("all", "throughput"):
         result["throughput"] = run_throughput(solvers, scales,
                                               args.bench_steps, args.warmup)

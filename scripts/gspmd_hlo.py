@@ -70,3 +70,24 @@ for op, c in counts.items():
 n_state = sum(np.prod(l.shape) * 4 for l in jax.tree_util.tree_leaves(state)
               if hasattr(l, "shape"))
 print(f"(state itself is ~{n_state / 1e6:.1f} MB)")
+
+# Is the expensive work sharded or replicated?  The per-DEVICE module shows
+# the post-SPMD-partitioning shapes: if the packed sweep arrays appear at
+# full (C, NC) size, every device runs the whole sweep (replicated compute).
+cap = cfg.cell_capacity
+nc = cfg.num_cells
+full = f"{cap},{nc}"
+sharded = f"{cap},{nc // 8}"
+n_full = len(re.findall(re.escape(full), hlo))
+n_shard = len(re.findall(re.escape(sharded), hlo))
+print(f"per-device shapes containing full packed size ({full}): {n_full}")
+print(f"per-device shapes containing 1/8 packed size ({sharded}): {n_shard}")
+shapes = {}
+for m in re.finditer(r"f32\[([\d,]+)\]", hlo):
+    dims = [int(d) for d in m.group(1).split(",")]
+    sz = int(np.prod(dims)) * 4
+    shapes[m.group(1)] = max(shapes.get(m.group(1), 0), sz)
+top = sorted(shapes.items(), key=lambda kv: -kv[1])[:8]
+print("largest per-device f32 shapes:")
+for s, b in top:
+    print(f"  [{s}]  {b / 1e6:.1f} MB")

@@ -7,10 +7,19 @@ jitted with sharding annotations: XLA inserts the collectives (all-gathers for
 the neighbor-table build and gather sources, psums for the solver-loop error
 reductions) over ICI.
 
-This v1 scheme is data-parallel-over-particles with compiler-inserted
-collectives; the per-pair sweeps — the dominant cost — shard perfectly.  An
-explicit slab-decomposition with ppermute halo exchange is the planned
-optimization once the Pallas sweep kernels land.
+**Measured verdict (scripts/gspmd_hlo.py, 8-way CPU mesh, 43k particles):**
+XLA partitions this step by all-gathering the particle axis early (3
+all-gathers, 1 all-reduce, 3 collective-permutes per step) and then runs the
+ENTIRE packed-grid pipeline replicated — the compiled per-device module
+contains 7,975 ops at the full (C, NC) packed size and ZERO at the 1/8
+sharded size.  The sort/scatter grid build gives GSPMD no parallelizable
+axis to propagate through, so this path is CORRECTNESS-ONLY: it produces
+exact results on a mesh but no compute speedup.  Use it for API symmetry
+and as a differential oracle.  The blessed scaling path is the explicit
+x-slab domain decomposition with ppermute halo exchange in
+parallel/halo.py, whose per-device work is 1/ndev of the sweep cost by
+construction (exact-match tested vs single device in tests/test_parallel.py
+and exercised for all four solvers by __graft_entry__.dryrun_multichip).
 """
 
 from __future__ import annotations
