@@ -111,6 +111,15 @@ class SimConfig:
     # pallas interpreter); bench.py enables it on TPU.
     use_pallas: bool = False
 
+    # Pair-math dtype for the XLA window sweeps ("float32" | "bfloat16").
+    # bfloat16 halves the HBM traffic of the (C, C, NC) pair temporaries —
+    # the bottleneck of the XLA path at 1M particles — at ~0.4% relative
+    # error on individual pair terms (7 mantissa bits).  Pair GEOMETRY
+    # (positions, distances, masks) always stays float32; only kernel
+    # weights and pair products are demoted, and every reduction
+    # accumulates in float32.  Measured verdict lives in ROADMAP.md.
+    pair_dtype: str = "float32"
+
     # ------------------------------------------------------------------
     # Derived quantities
     # ------------------------------------------------------------------

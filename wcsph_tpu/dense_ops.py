@@ -190,6 +190,16 @@ def _masked_gs(w: Win, cfg: SimConfig):
         jnp.sqrt(jnp.maximum(w.dist2, 0.0)), cfg.support_radius), 0.0)
 
 
+def _pt(cfg: SimConfig):
+    """Pair-math dtype (cfg.pair_dtype experiment; geometry stays f32)."""
+    return jnp.bfloat16 if cfg.pair_dtype == "bfloat16" else jnp.float32
+
+
+def _fsum(x, axis):
+    """Reduce a (possibly bf16) pair array with a float32 accumulator."""
+    return jnp.sum(x, axis=axis, dtype=jnp.float32)
+
+
 def _zeros(grid, n=1):
     cap, nc = grid.pid.shape
     if n == 1:
@@ -211,27 +221,34 @@ def density_stats(grid: DenseGrid, cfg: SimConfig, with_alpha: bool) -> DensityS
     v_home = loop.vol_home()                           # (C, 1, NC)
     liq_home = grid.liquid[:, None, :]
 
+    pt = _pt(cfg)
+
     def fn(carry, w, lp, mg):
         rho_acc, count, sg, sq = carry
-        vj = _vol_j(w, cfg)
-        wk = _masked_w(w, cfg)
-        rho_acc = rho_acc + jnp.sum(vj * wk, axis=1) \
-            + lp.shift_out(mg * jnp.sum(v_home * wk, axis=0), w.lin)
+        vj = _vol_j(w, cfg).astype(pt)
+        wk = _masked_w(w, cfg).astype(pt)
+        vh = v_home.astype(pt)
+        rho_acc = rho_acc + _fsum(vj * wk, axis=1) \
+            + lp.shift_out(mg * _fsum(vh * wk, axis=0), w.lin)
         count = count + jnp.sum(w.mask, axis=1) \
             + lp.shift_out((mg * jnp.sum(w.mask, axis=0)).astype(jnp.int32),
                            w.lin)
         if with_alpha:
-            gs = _masked_gs(w, cfg)
-            vh_gs = v_home * gs
+            gs = _masked_gs(w, cfg).astype(pt)
+            vh_gs = vh * gs
             sg = sg + jnp.stack([
-                jnp.sum(_vol_j(w, cfg) * gs * lp.rij(w, c), axis=1)
-                - lp.shift_out(mg * jnp.sum(vh_gs * lp.rij(w, c), axis=0),
-                               w.lin)
+                _fsum(vj * gs * lp.rij(w, c).astype(pt), axis=1)
+                - lp.shift_out(
+                    mg * _fsum(vh_gs * lp.rij(w, c).astype(pt), axis=0),
+                    w.lin)
                 for c in range(3)])
-            liq_c2 = jnp.where(w.liq_j, (cfg.liquid_volume * gs) ** 2, 0.0)
-            liq_h2 = jnp.where(liq_home, (cfg.liquid_volume * gs) ** 2, 0.0)
-            sq = sq + jnp.sum(liq_c2 * w.dist2, axis=1) \
-                + lp.shift_out(mg * jnp.sum(liq_h2 * w.dist2, axis=0), w.lin)
+            liq_c2 = jnp.where(w.liq_j, (cfg.liquid_volume * gs) ** 2,
+                               jnp.zeros((), pt))
+            liq_h2 = jnp.where(liq_home, (cfg.liquid_volume * gs) ** 2,
+                               jnp.zeros((), pt))
+            d2 = w.dist2.astype(pt)
+            sq = sq + _fsum(liq_c2 * d2, axis=1) \
+                + lp.shift_out(mg * _fsum(liq_h2 * d2, axis=0), w.lin)
         return rho_acc, count, sg, sq
 
     cap, nc = grid.pid.shape
@@ -309,12 +326,13 @@ def _div_accum(grid, cfg, velp):
     loop = WindowLoop(grid, cfg)
     vel_pad = loop.pad(velp, 0.0)
     v_home = loop.vol_home()
+    pt = _pt(cfg)
 
     def fn(acc, w, lp, mg):
-        gs = _masked_gs(w, cfg)
-        f = gs * lp.delta_dot_r(w, velp, vel_pad)
-        return acc + jnp.sum(_vol_j(w, cfg) * f, axis=1) \
-            + lp.shift_out(mg * jnp.sum(v_home * f, axis=0), w.lin)
+        gs = _masked_gs(w, cfg).astype(pt)
+        f = gs * lp.delta_dot_r(w, velp, vel_pad).astype(pt)
+        return acc + _fsum(_vol_j(w, cfg).astype(pt) * f, axis=1) \
+            + lp.shift_out(mg * _fsum(v_home.astype(pt) * f, axis=0), w.lin)
 
     return loop.scan_sym(fn, _zeros(grid))
 
@@ -342,21 +360,25 @@ def kappa_velocity_update(grid, cfg, velp, kp, dt):
     k_pad = loop.pad(kp, 0.0)
     ki = kp[:, None, :]
     v_home = loop.vol_home()
+    pt = _pt(cfg)
 
     def fn(acc, w, lp, mg):
-        gs = _masked_gs(w, cfg)
-        ksum_gs = (ki + lp.shift(k_pad, w.lin)[None]) * gs
-        vj = _vol_j(w, cfg)
+        gs = _masked_gs(w, cfg).astype(pt)
+        ksum_gs = (ki + lp.shift(k_pad, w.lin)[None]).astype(pt) * gs
+        vj = _vol_j(w, cfg).astype(pt)
+        vh = v_home.astype(pt)
         parts = []
         for c in range(3):
-            f = ksum_gs * lp.rij(w, c)
-            parts.append(jnp.sum(vj * f, axis=1)
-                         - lp.shift_out(mg * jnp.sum(v_home * f, axis=0),
+            f = ksum_gs * lp.rij(w, c).astype(pt)
+            parts.append(_fsum(vj * f, axis=1)
+                         - lp.shift_out(mg * _fsum(vh * f, axis=0),
                                         w.lin))
         return acc + jnp.stack(parts)
 
     acc = loop.scan_sym(fn, _zeros(grid, 3))
-    return velp + dt * acc
+    # liquid-masked: boundary slots keep velocity 0 exactly (the reference
+    # only loops i over liquid, dfsph.py:449-477)
+    return velp + jnp.where(grid.liquid[None], dt * acc, 0.0)
 
 
 # ---------------------------------------------------------------------------

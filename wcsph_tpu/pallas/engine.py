@@ -358,6 +358,22 @@ class _DensityAlpha(_Emit):
         ]
 
 
+class _DensityAlphaDrho(_Emit):
+    """_DensityAlpha plus the divergence accumulation of the CURRENT packed
+    velocity as a 7th channel — fuses the divergence warm start's drho pass
+    (dfsph.py:415-439) into the density sweep (one sweep saved per step)."""
+
+    n_out = 7
+    fields = ("vol", "liq", "vel3")
+
+    def __call__(self, ctx: PairCtx):
+        out = _DensityAlpha.__call__(self, ctx)
+        dv_dot = sum((ctx.home(3, c) - ctx.nbr(3, c)) * ctx.r[c]
+                     for c in range(3))
+        out.append(jnp.sum(ctx.nbr(1) * ctx.gs() * dv_dot, axis=1))
+        return out
+
+
 class _KappaAcc(_Emit):
     """acc = sum_j V_j (k_i + k_j) gs r (dense_ops.kappa_velocity_update;
     caller applies vel + dt * acc)."""
@@ -532,13 +548,21 @@ class SweepEngine:
 
     # -- ops --------------------------------------------------------------
 
-    def density_alpha(self, with_alpha: bool = True):
-        """(rho, alpha, count) — twin of dense_ops.density_stats."""
+    def density_alpha(self, with_alpha: bool = True, velp=None):
+        """(rho, alpha, count[, div_acc]) — twin of dense_ops.density_stats.
+        With ``velp``, also returns the raw divergence accumulation of that
+        velocity (fused warm-start channel; see _DensityAlphaDrho)."""
         from .. import kernels
         cfg = self.cfg
-        out = self._run(_DensityAlpha,
-                        [self.xp_pad, self.vol_pad, self.liq_pad],
-                        liquid_gated=False)
+        if velp is not None:
+            out = self._run(_DensityAlphaDrho,
+                            [self.xp_pad, self.vol_pad, self.liq_pad,
+                             self._pad3(velp)],
+                            liquid_gated=False)
+        else:
+            out = self._run(_DensityAlpha,
+                            [self.xp_pad, self.vol_pad, self.liq_pad],
+                            liquid_gated=False)
         rho_acc, count = out[0], out[1]
         w0 = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
         rho = cfg.rest_density * (w0 + rho_acc)
@@ -548,12 +572,16 @@ class SweepEngine:
             alpha = jnp.where(den > cfg.eps, -1.0 / den, 0.0)
         else:
             alpha = jnp.zeros_like(rho)
+        if velp is not None:
+            return rho, alpha, count.astype(jnp.int32), out[6]
         return rho, alpha, count.astype(jnp.int32)
 
     def kappa_velocity_update(self, velp, kp, dt):
         acc = self._run(_KappaAcc,
                         [self.xp_pad, self.vol_pad, self._pad1(kp)])
-        return velp + dt * acc
+        # liquid-masked: boundary slots keep velocity 0 exactly (the
+        # reference only loops i over liquid, dfsph.py:449-477)
+        return velp + jnp.where(self.grid.liquid[None], dt * acc, 0.0)
 
     def div_accum(self, velp):
         out = self._run(_DivAcc,

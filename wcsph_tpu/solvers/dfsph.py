@@ -56,9 +56,12 @@ class _SolveResult(NamedTuple):
     err: jnp.ndarray
 
 
-def divergence_solve(comm, velp, kvp, alphap, cntp, dt) -> _SolveResult:
+def divergence_solve(comm, velp, kvp, alphap, cntp, dt,
+                     drho0=None) -> _SolveResult:
     """Divergence-free velocity solver (dfsph.py:131-146, 415-485).
-    All array args are in the comm's OWNED (local) layout."""
+    All array args are in the comm's OWNED (local) layout.  ``drho0``, if
+    given, is the warm-start drho of the INCOMING velp (fused into the
+    density sweep by the engine path), saving one sweep."""
     cfg = comm.cfg
     rho0 = cfg.rest_density
     cnt_l = comm.lift(cntp, 0)
@@ -81,7 +84,7 @@ def divergence_solve(comm, velp, kvp, alphap, cntp, dt) -> _SolveResult:
     if cfg.divergence_warm_start:
         # warmstart_divergence_vel (dfsph.py:415-439)
         k_ws = 0.5 * jnp.maximum(kvp / dt, -0.5 * rho0 * rho0)
-        drho_ws = drho_of(velp)
+        drho_ws = drho_of(velp) if drho0 is None else drho0
         vel_ws = kappa_update(velp, k_ws)
         velp = jnp.where((drho_ws > 0.0)[None], vel_ws, velp)
 
@@ -186,26 +189,35 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
                 last_pressure_iters) -> MidResult:
     """The whole per-step solve in packed space, comm-parameterized
     (everything between sort/pack and unpack/position-update)."""
+    drho0 = None
     if comm.engine is not None:
-        rhop, alphap, cntp = comm.engine.density_alpha()
+        rhop, alphap, cntp, div_acc = comm.engine.density_alpha(velp=velp)
+        if cfg.divergence_warm_start:
+            # post-processing of dense_ops.drho_divergence on the fused
+            # warm-start channel
+            drho0 = jnp.where(cntp < cfg.min_div_neighbors, 0.0,
+                              jnp.maximum(div_acc, 0.0))
     else:
         stats = dense_ops.density_stats(comm.grid, comm.cfg, with_alpha=True)
         rhop = comm.lower(stats.rho)
         alphap = comm.lower(stats.alpha)
         cntp = comm.lower(stats.count)
 
-    div = divergence_solve(comm, velp, kvp, alphap, cntp, dt)
+    div = divergence_solve(comm, velp, kvp, alphap, cntp, dt, drho0=drho0)
     velp = div.vel
 
-    # --- non-pressure forces (dfsph.py:84-103) ---
+    # --- non-pressure forces (dfsph.py:84-103), liquid slots only: the
+    # reference applies accelerations to i < liquid_count exclusively, so
+    # boundary slots must keep d_vel = 0 (they feed (v_i - v_j) pair terms) ---
+    liq3 = comm._liq[None]
     gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
-    d_vel = jnp.broadcast_to(gvec, velp.shape)
+    d_vel = jnp.where(liq3, jnp.broadcast_to(gvec, velp.shape), 0.0)
     if cfg.tension_coff != 0.0 or cfg.tension_coff_b != 0.0:
         rho_l = comm.lift(rhop, 1.0)
         normalp = comm.lower(dense_ops.surface_normals(comm.grid, comm.cfg,
                                                        rho_l))
-        d_vel = d_vel + comm.lower(dense_ops.tension_accel(
-            comm.grid, comm.cfg, rho_l, comm.lift(normalp)))
+        d_vel = d_vel + jnp.where(liq3, comm.lower(dense_ops.tension_accel(
+            comm.grid, comm.cfg, rho_l, comm.lift(normalp))), 0.0)
     visc = viscosity.solve_dense(comm, velp, vgp, rhop, dt)
     d_vel = d_vel + (visc.vel_new - velp) / dt          # end_viscosity
     if cfg.enable_vorticity:
@@ -215,7 +227,7 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
         else:
             dv_vort, omegap = dense_ops.vorticity_comm(comm, velp, omegap,
                                                        rhop, dt)
-        d_vel = d_vel + dv_vort
+        d_vel = d_vel + jnp.where(liq3, dv_vort, 0.0)
 
     # --- adaptive dt (dfsph.py:107-129): CFL from old dt, iteration feedback
     # from this frame's viscosity iters and LAST frame's pressure iters ---

@@ -68,7 +68,10 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     d_vel = gvec + (visc.vel_new - velp) / dt           # combine_nonpressure
 
     # --- advection coefficients (iisph.py:276-316) ---
-    velp = velp + d_vel * dt
+    # liquid-masked: boundary slots keep velocity 0 exactly (the reference
+    # integrates i < liquid_count only; unmasked gravity here would leak
+    # g*dt into the (v_i - v_j) advection pair terms of wall neighbors)
+    velp = velp + jnp.where(comm._liq[None], d_vel * dt, 0.0)
     den_i2 = (rhop / rho0) ** 2                         # owned (C, NC_own)
 
     loop = dense_ops.WindowLoop(comm.grid, comm.cfg)
@@ -191,7 +194,7 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
         return lp.accum_r(w, -coeff * gs, acc)
 
     d_vel_p = comm.lower(loop.scan(force_fn, dense_ops._zeros(g_l, 3)))
-    velp = velp + d_vel_p * dt
+    velp = velp + jnp.where(comm._liq[None], d_vel_p * dt, 0.0)
     return MidResult(vel=velp, pressure=pp, delta_v=visc.delta_v,
                      iters=iters, visc_iters=visc.iters, err=err)
 
