@@ -180,14 +180,19 @@ class PairCtx(NamedTuple):
     nbr: tuple
     h: float
 
+    def rinv(self):
+        """1/|r| via a single rsqrt (no sqrt + true division on the VPU);
+        finite at d2 = 0, where dist() = d2 * rinv() is still exactly 0."""
+        return jax.lax.rsqrt(jnp.maximum(self.d2, _EPS * _EPS))
+
     def dist(self):
-        return jnp.sqrt(jnp.maximum(self.d2, 0.0))
+        return self.d2 * self.rinv()
 
     def w(self):
         """Masked cubic W."""
         h = self.h
         sigma = 8.0 / (math.pi * h * h * h)
-        q = self.dist() / h
+        q = self.dist() * (1.0 / h)
         inner = 6.0 * q * q * q - 6.0 * q * q + 1.0
         f = 1.0 - q
         wk = sigma * jnp.where(q <= 0.5, inner, 2.0 * f * f * f)
@@ -197,10 +202,12 @@ class PairCtx(NamedTuple):
         """Masked gradW scalar factor (gradW = gs * r)."""
         h = self.h
         m_l = 48.0 / (math.pi * h * h * h)
-        dist = self.dist()
-        q = dist / h
-        inner = m_l * (3.0 * q - 2.0) / (h * h)
-        outer = -m_l * (1.0 - q) * (1.0 - q) / (jnp.maximum(dist, _EPS) * h)
+        rinv = self.rinv()
+        dist = self.d2 * rinv
+        q = dist * (1.0 / h)
+        inner = (m_l / (h * h)) * (3.0 * q - 2.0)
+        f = 1.0 - q
+        outer = (-m_l / h) * f * f * rinv
         s = jnp.where(q <= 0.5, inner, outer)
         return jnp.where(self.mask & (dist > _EPS), s, 0.0)
 
@@ -400,10 +407,12 @@ class _DivAcc(_Emit):
 
 class _ViscAcc(_Emit):
     """Viscosity matvec accumulation (dense_ops.visc_matvec; caller applies
-    x - acc * dt / rho_i).  Channels: [ax, ay, az]."""
+    x - acc * dt / rho_i).  Channels: [ax, ay, az].  Field 2 is RECIPROCAL
+    density (1/max(rho,1)) so the pair coefficient costs one division
+    (1/denom) instead of three."""
 
     n_out = 3
-    fields = ("xv3", "rho", "liq", "sol")
+    fields = ("xv3", "rho_inv", "liq", "sol")
 
     def __call__(self, ctx: PairCtx):
         cfg = self.cfg
@@ -411,8 +420,8 @@ class _ViscAcc(_Emit):
         b_sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
                  * cfg.solid_volume)
         denom = ctx.d2 + 0.01 * self.h2
-        coeff = (ctx.nbr(3) * a_liq / ctx.nbr(2)
-                 + ctx.nbr(4) * b_sol / ctx.home(2)) / denom
+        coeff = (ctx.nbr(3) * a_liq * ctx.nbr(2)
+                 + ctx.nbr(4) * b_sol * ctx.home(2)) / denom
         dxr = sum((ctx.home(1, c) - ctx.nbr(1, c)) * ctx.r[c]
                   for c in range(3))
         cfac = coeff * dxr * ctx.gs()
@@ -424,7 +433,7 @@ class _ViscInit(_Emit):
     Channels: [m_xx, m_xy, m_xz, m_yy, m_yz, m_zz, ax, ay, az]."""
 
     n_out = 9
-    fields = ("xv3", "rho", "liq", "sol")
+    fields = ("xv3", "rho_inv", "liq", "sol")
 
     def __call__(self, ctx: PairCtx):
         cfg = self.cfg
@@ -432,8 +441,8 @@ class _ViscInit(_Emit):
         b_sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
                  * cfg.solid_volume)
         denom = ctx.d2 + 0.01 * self.h2
-        coeff = (ctx.nbr(3) * a_liq / ctx.nbr(2)
-                 + ctx.nbr(4) * b_sol / ctx.home(2)) / denom
+        coeff = (ctx.nbr(3) * a_liq * ctx.nbr(2)
+                 + ctx.nbr(4) * b_sol * ctx.home(2)) / denom
         gs = ctx.gs()
         cg = coeff * gs
         r = ctx.r
@@ -455,7 +464,7 @@ class _Vorticity(_Emit):
     damping term (via the density op's count) and dt."""
 
     n_out = 9
-    fields = ("vel3", "om3", "rho", "liq", "sol")
+    fields = ("vel3", "om3", "rho_inv", "liq", "sol")
 
     def __call__(self, ctx: PairCtx):
         cfg = self.cfg
@@ -477,7 +486,7 @@ class _Vorticity(_Emit):
             cr_o = (d_om[c0] * r[c1] - d_om[c1] * r[c0]) * gs
             out.append(jnp.sum(mass_like_j * cr_o, axis=1))
         for c in range(3):
-            out.append(jnp.sum(liq_j * wk / ctx.nbr(3) * d_om[c], axis=1))
+            out.append(jnp.sum(liq_j * wk * ctx.nbr(3) * d_om[c], axis=1))
         for c in range(3):
             c0, c1 = (c + 1) % 3, (c + 2) % 3
             cr_v = (d_ve[c0] * r[c1] - d_ve[c1] * r[c0]) * gs
@@ -601,7 +610,7 @@ class SweepEngine:
     def visc_matvec(self, xv, rhop, dt):
         acc = self._run(_ViscAcc,
                         [self.xp_pad, self._pad3(xv),
-                         self._pad1(jnp.maximum(rhop, 1.0), 1.0),
+                         self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
                          self.liq_pad, self.sol_pad])
         return xv - acc * (dt / jnp.maximum(rhop, 1.0))[None]
 
@@ -610,7 +619,7 @@ class SweepEngine:
         from ..utils import mat3
         out = self._run(_ViscInit,
                         [self.xp_pad, self._pad3(x0),
-                         self._pad1(jnp.maximum(rhop, 1.0), 1.0),
+                         self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
                          self.liq_pad, self.sol_pad])
         inv_rho = dt / jnp.maximum(rhop, 1.0)
         a = mat3.sym3_identity_minus(mat3.Sym3(*out[:6]), inv_rho)
@@ -622,7 +631,7 @@ class SweepEngine:
         cfg = self.cfg
         out = self._run(_Vorticity,
                         [self.xp_pad, self._pad3(velp), self._pad3(omegap),
-                         self._pad1(jnp.maximum(rhop, 1.0), 1.0),
+                         self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
                          self.liq_pad, self.sol_pad])
         cv, tr, st = out[0:3], out[3:6], out[6:9]
         inv_rho_i = 1.0 / jnp.maximum(rhop, 1.0)
