@@ -72,7 +72,9 @@ def run_iters(solvers, steps: int, scene: str) -> list[dict]:
         t0 = time.time()
         stats = {"pressure": [], "divergence": [], "viscosity": [],
                  "err": [], "dt": []}
-        chunk = 10
+        # violent runs sample EVERY step: impact/collapse iteration spikes
+        # are step-local and a 10-step stride misses them
+        chunk = 1 if scene == "violent" else 10
         for _ in range(steps // chunk):
             sim.run(chunk)
             tel = sim.telemetry()
