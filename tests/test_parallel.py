@@ -198,3 +198,30 @@ def test_sesph_step_sharded_matches_single(mesh8):
         s2 = jax.jit(lambda s: halo.sesph_step_sharded(s, cfg, mesh))(s2)
     np.testing.assert_allclose(np.asarray(s2.pos), np.asarray(s1.pos),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_full_dfsph_step_sharded_engine_matches_single(mesh8):
+    """The slab decomposition running the MOSAIC sweep engine inside each
+    slab (SlabEngine adapter) must reproduce the single-device engine step."""
+    import dataclasses
+
+    from wcsph_tpu.state import init_state
+
+    sc, cfg = _scene_cfg()
+    cfg = halo.slab_config(cfg, 8)
+    cfg = dataclasses.replace(cfg, use_pallas=True)
+    state = init_state(sc, cfg)
+    mesh = halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+
+    s_single = state
+    s_shard = state
+    for _ in range(2):
+        s_single = jax.jit(lambda s: dfsph.step(s, cfg))(s_single)
+        s_shard = jax.jit(
+            lambda s: halo.dfsph_step_sharded(s, cfg, mesh))(s_shard)
+    np.testing.assert_allclose(np.asarray(s_shard.pos),
+                               np.asarray(s_single.pos), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_shard.vel),
+                               np.asarray(s_single.vel), rtol=2e-3, atol=1e-5)
+    assert abs(float(s_shard.dt) - float(s_single.dt)) < 1e-7
+    assert int(s_shard.diag.pressure_iters) == int(s_single.diag.pressure_iters)

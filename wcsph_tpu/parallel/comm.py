@@ -68,16 +68,25 @@ def exchange_halo(arr: jnp.ndarray, plane: int, fill, axis: str = AXIS):
 
 
 class SlabComm:
-    """Inside shard_map over x-slabs: ops run on the halo-extended slab."""
+    """Inside shard_map over x-slabs: ops run on the halo-extended slab.
+
+    ``engine``, when set, is a SlabEngine adapter that runs the Mosaic sweep
+    engine on the halo-extended local grid — each sweep lifts its dynamic
+    inputs (one-plane ppermute), runs the pallas kernel locally, and lowers
+    the owned planes back.  Air planes cost almost nothing in the engine
+    (occupancy-bitmask skipping), so equal-extent slabs stay load-balanced
+    unless the fluid clusters pathologically along x."""
 
     def __init__(self, slab_grid, ext_grid, ext_cfg, plane: int,
-                 axis: str = AXIS):
+                 axis: str = AXIS, engine=None):
         self.grid = ext_grid
         self.cfg = ext_cfg
         self.engine = None
         self._liq = slab_grid.liquid
         self._plane = plane
         self._axis = axis
+        if engine is not None:
+            self.engine = SlabEngine(self, engine)
 
     def lift(self, q, fill=0.0):
         return exchange_halo(q, self._plane, fill, self._axis)
@@ -94,3 +103,57 @@ class SlabComm:
 
     def n_liquid(self):
         return jax.lax.psum(jnp.sum(self._liq), self._axis).astype(jnp.float32)
+
+
+class SlabEngine:
+    """Adapter exposing the Mosaic SweepEngine API over a slab communicator.
+
+    The wrapped engine was built for the HALO-EXTENDED local grid; every
+    method lifts its dynamic packed inputs (identity on the static grid
+    fields, which the engine padded at construction), runs the sweep, and
+    lowers the owned planes.  Halo-plane outputs are edge-incomplete and
+    dropped by lower(), exactly like the XLA dense path — so the
+    comm-parameterized solvers (solvers/*.py) work unchanged."""
+
+    def __init__(self, comm: "SlabComm", ext_engine):
+        self._c = comm
+        self._e = ext_engine
+
+    def density_alpha(self, with_alpha: bool = True, velp=None):
+        c = self._c
+        if velp is not None:
+            r, a, n, d = self._e.density_alpha(with_alpha, c.lift(velp))
+            return c.lower(r), c.lower(a), c.lower(n), c.lower(d)
+        r, a, n = self._e.density_alpha(with_alpha)
+        return c.lower(r), c.lower(a), c.lower(n)
+
+    def kappa_velocity_update(self, velp, kp, dt):
+        c = self._c
+        return c.lower(self._e.kappa_velocity_update(
+            c.lift(velp), c.lift(kp), dt))
+
+    def drho_divergence(self, velp, countp):
+        c = self._c
+        return c.lower(self._e.drho_divergence(c.lift(velp),
+                                               c.lift(countp, 0)))
+
+    def advected_density(self, velp, rhop, dt):
+        c = self._c
+        return c.lower(self._e.advected_density(c.lift(velp),
+                                                c.lift(rhop, 1.0), dt))
+
+    def visc_matvec(self, xv, rhop, dt):
+        c = self._c
+        return c.lower(self._e.visc_matvec(c.lift(xv), c.lift(rhop, 1.0),
+                                           dt))
+
+    def visc_init(self, x0, rhop, dt):
+        c = self._c
+        minv, ax0 = self._e.visc_init(c.lift(x0), c.lift(rhop, 1.0), dt)
+        return type(minv)(*[c.lower(m) for m in minv]), c.lower(ax0)
+
+    def vorticity(self, velp, omegap, rhop, countp, dt):
+        c = self._c
+        dv, om = self._e.vorticity(c.lift(velp), c.lift(omegap),
+                                   c.lift(rhop, 1.0), c.lift(countp, 0), dt)
+        return c.lower(dv), c.lower(om)

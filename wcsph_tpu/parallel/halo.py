@@ -62,7 +62,9 @@ def _ext_cfg(cfg: SimConfig, n: int) -> SimConfig:
 
 def _make_slab_comm(pid, valid, liquid, xp, cfg: SimConfig, n: int) -> SlabComm:
     """Build the communicator for one slab inside shard_map: halo-extend the
-    static grid arrays once, keep the local liquid mask for reductions."""
+    static grid arrays once, keep the local liquid mask for reductions.
+    With cfg.use_pallas, the Mosaic sweep engine runs on the extended slab
+    (SlabEngine adapter in parallel/comm.py)."""
     gx, gy, gz = cfg.grid_res
     plane = gy * gz
     slab = DenseGrid(pid=pid, valid=valid, liquid=liquid, xp=xp,
@@ -73,7 +75,13 @@ def _make_slab_comm(pid, valid, liquid, xp, cfg: SimConfig, n: int) -> SlabComm:
         liquid=exchange_halo(liquid, plane, False),
         xp=exchange_halo(xp, plane, 1e9),
     )
-    return SlabComm(slab, egrid, _ext_cfg(cfg, n), plane)
+    ecfg = _ext_cfg(cfg, n)
+    engine = None
+    if cfg.use_pallas:
+        from ..pallas.engine import SweepEngine
+
+        engine = SweepEngine(egrid, ecfg)
+    return SlabComm(slab, egrid, ecfg, plane, engine=engine)
 
 
 def density_sharded(grid: DenseGrid, cfg: SimConfig, mesh: Mesh):
