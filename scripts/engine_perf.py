@@ -125,15 +125,3 @@ if which in ("all", "xla"):
     timeit("xla visc_mv", x_visc_mv, velp, stats.rho)
     timeit("xla visc_init", x_visc_init, velp, stats.rho)
     timeit("xla vorticity", x_vort, velp, omp, stats.rho)
-
-if which in ("all", "v1"):
-    from wcsph_tpu.pallas import window_sweep
-
-    def v1_kappa(velp, kp):
-        return window_sweep.kappa_update_pallas(grid, cfg, velp, kp, dt)
-
-    def v1_div(velp):
-        return window_sweep.div_accum_pallas(grid, cfg, velp)
-
-    timeit("v1 kappa", v1_kappa, velp, kp)
-    timeit("v1 div", v1_div, velp)

@@ -148,63 +148,3 @@ def test_tension_and_vorticity_match(setup):
                                rtol=1e-3, atol=1e-4 * np.abs(np.asarray(dv_g)).max())
     np.testing.assert_allclose(unpk(grid, om_d, nl), np.asarray(om_g),
                                rtol=1e-3, atol=1e-4 * np.abs(np.asarray(om_g)).max())
-
-
-def test_pallas_density_matches_dense(setup):
-    """The Mosaic window-sweep kernel (interpret mode on CPU) must match the
-    XLA dense engine."""
-    from wcsph_tpu.pallas.window_sweep import density_pallas
-
-    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
-    rho_x = dense_ops.density_stats(grid, cfg, False).rho
-    rho_p = density_pallas(grid, cfg, block=256)
-    liq = np.asarray(grid.liquid)
-    np.testing.assert_allclose(np.asarray(rho_p)[liq], np.asarray(rho_x)[liq],
-                               rtol=2e-5)
-
-
-def test_pallas_kappa_matches_dense(setup):
-    from wcsph_tpu.pallas.window_sweep import kappa_update_pallas
-
-    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
-    rng = np.random.default_rng(13)
-    k = jnp.asarray(rng.normal(0, 1.0, (nl,)).astype(np.float32))
-    velp = pack_liquid(grid, vel)
-    kp = pack_liquid(grid, k)
-    dt = jnp.float32(1e-3)
-    v_x = dense_ops.kappa_velocity_update(grid, cfg, velp, kp, dt)
-    v_p = kappa_update_pallas(grid, cfg, velp, kp, dt, block=128)
-    liq = np.asarray(grid.liquid)
-    a, b = np.asarray(v_p), np.asarray(v_x)
-    np.testing.assert_allclose(a[:, liq], b[:, liq], rtol=2e-4,
-                               atol=1e-5 * np.abs(b[:, liq]).max())
-
-
-def test_pallas_div_accum_matches_dense(setup):
-    from wcsph_tpu.pallas.window_sweep import div_accum_pallas
-
-    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
-    velp = pack_liquid(grid, vel)
-    d_x = dense_ops._div_accum(grid, cfg, velp)
-    d_p = div_accum_pallas(grid, cfg, velp, block=128)
-    liq = np.asarray(grid.liquid)
-    a, b = np.asarray(d_p), np.asarray(d_x)
-    np.testing.assert_allclose(a[liq], b[liq], rtol=2e-4,
-                               atol=1e-5 * np.abs(b[liq]).max())
-
-
-def test_pallas_visc_matvec_matches_dense(setup):
-    from wcsph_tpu.pallas.window_sweep import visc_acc_pallas
-
-    cfg, nl, pos, grid, nbr, pairs, vel, omega = setup
-    velp = pack_liquid(grid, vel)
-    rhop = dense_ops.density_stats(grid, cfg, False).rho
-    rho_pad = dense_ops.WindowLoop(grid, cfg).pad(rhop, 1.0)
-    dt = jnp.float32(1e-3)
-    v_x = dense_ops.visc_matvec(grid, cfg, velp, rhop, rho_pad, dt)
-    acc = visc_acc_pallas(grid, cfg, velp, rhop, block=128)
-    v_p = velp - acc * (dt / jnp.maximum(rhop, 1.0))[None]
-    liq = np.asarray(grid.liquid)
-    a, b = np.asarray(v_p), np.asarray(v_x)
-    np.testing.assert_allclose(a[:, liq], b[:, liq], rtol=5e-4,
-                               atol=1e-5 * np.abs(b[:, liq]).max())

@@ -408,9 +408,8 @@ def visc_matvec(grid, cfg, xv, rhop, rho_pad, dt):
     Half-window: gs (x_i - x_j).r is symmetric; only the coefficient and the
     sign of r swap on the mirror side.
 
-    (A Mosaic twin exists — pallas.window_sweep.visc_acc_pallas, 1.7x
-    standalone at 1M — but compiling it inside the full-step program
-    currently trips the AOT compiler; tracked in ROADMAP.md.)"""
+    (The Mosaic twin is pallas.engine._ViscAcc; solvers dispatch to it via
+    comm.engine when cfg.use_pallas is set.)"""
     loop = WindowLoop(grid, cfg)
     x_pad = loop.pad(xv, 0.0)
     liq_home = grid.liquid[:, None, :]

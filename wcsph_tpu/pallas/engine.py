@@ -1,10 +1,11 @@
 """Sweep engine v2: plane-tiled, occupancy-skipping Mosaic window sweeps.
 
-This replaces the first-generation kernels in window_sweep.py for the hot
-DFSPH path.  Design (all measurement-driven, see ROADMAP.md round-2 notes):
+This replaced the first-generation kernels (removed; see git history of
+pallas/window_sweep.py) for the hot DFSPH path.  Design (measurement-driven,
+see ROADMAP.md round-2 notes):
 
-* **Plane-tiled DMA.**  window_sweep.py blocks the flat cell axis, so every
-  128-cell block drags a full-x-plane halo (~5k cells each side) from HBM —
+* **Plane-tiled DMA.**  The v1 kernels blocked the flat cell axis, so every
+  128-cell block dragged a full-x-plane halo (~5k cells each side) from HBM —
   an ~80x DMA amplification.  Here a program owns (one x-plane) x (a minor
   chunk of Q cells) and DMAs exactly three plane rows with a 128-lane margin:
   amplification ~3x on the plane axis, ~1.2x on the minor axis.
