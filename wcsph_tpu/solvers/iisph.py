@@ -77,20 +77,33 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     loop = dense_ops.WindowLoop(comm.grid, comm.cfg)
     velp_l = comm.lift(velp)
     vel_pad = loop.pad(velp_l, 0.0)
+    v_home = loop.vol_home()
 
-    def adv_fn(carry, w, lp):
+    def adv_fn(carry, w, lp, mg):
+        """Half-window (Newton) form: F = gs*r, gs*dv.r and gs^2*d2 are
+        shared per +-offset pair; the home side weights by V_j, the mirror
+        side by V_i (signs flip with r for the vector term)."""
         d_ii_acc, adv_acc, dji_acc = carry
         gs = dense_ops._masked_gs(w, cfg)
         vj = dense_ops._vol_j(w, cfg)
-        d_ii_acc = lp.accum_r(w, -vj * gs, d_ii_acc)
-        dv_dot = lp.delta_dot_r(w, velp_l, vel_pad)
-        adv_acc = adv_acc + jnp.sum(vj * gs * dv_dot, axis=1)
+        parts = []
+        for c in range(3):
+            f = gs * lp.rij(w, c)
+            parts.append(-jnp.sum(vj * f, axis=1)
+                         + lp.shift_out(mg * jnp.sum(v_home * f, axis=0),
+                                        w.lin))
+        d_ii_acc = d_ii_acc + jnp.stack(parts)
+        f2 = gs * lp.delta_dot_r(w, velp_l, vel_pad)
+        adv_acc = adv_acc + jnp.sum(vj * f2, axis=1) \
+            + lp.shift_out(mg * jnp.sum(v_home * f2, axis=0), w.lin)
         # a_ii part 2: sum_j V_j (d_ji . gradW) with d_ji = V0/den_i^2 gradW
-        dji_acc = dji_acc + jnp.sum(vj * gs * gs * w.dist2, axis=1)
+        f3 = gs * gs * w.dist2
+        dji_acc = dji_acc + jnp.sum(vj * f3, axis=1) \
+            + lp.shift_out(mg * jnp.sum(v_home * f3, axis=0), w.lin)
         return d_ii_acc, adv_acc, dji_acc
 
     g_l = comm.grid
-    d_ii_raw, adv_acc, dji_acc = loop.scan(
+    d_ii_raw, adv_acc, dji_acc = loop.scan_sym(
         adv_fn, (dense_ops._zeros(g_l, 3), dense_ops._zeros(g_l),
                  dense_ops._zeros(g_l)))
     rhop_l = comm.lift(rhop, 1.0)
@@ -116,6 +129,8 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     d_ii_pad = loop.pad(d_ii_l, 0.0)
     rho_pad = loop.pad(rhop_l, 1.0)
     den_i2_l = (rhop_l / rho0) ** 2
+    liq_home = g_l.liquid[:, None, :]
+    sol_home = (g_l.valid & ~g_l.liquid)[:, None, :]
 
     # --- relaxed Jacobi loop (iisph.py:130-139, 318-370) ---
     def body(carry):
@@ -124,15 +139,27 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
         p_pad = loop.pad(p_pre_l, 0.0)
 
         # dij_pj_i = sum_liq -V0/(rho_j/rho0)^2 p_j gradW  (iisph.py:318-334)
-        def dij_fn(acc, w, lp):
+        # half-window: the pair geometry gs*r is shared, the source factor
+        # -V0 p/den^2 evaluates with j's values on the home side and i's on
+        # the mirror side
+        p_h = p_pre_l[:, None, :]
+        fac_home = jnp.where(liq_home,
+                             -v0 / den_i2_l[:, None, :] * p_h, 0.0)
+
+        def dij_fn(acc, w, lp, mg):
             gs = dense_ops._masked_gs(w, cfg)
             rho_j = lp.shift(rho_pad, w.lin)[None]
             p_j = jnp.where(w.liq_j, lp.shift(p_pad, w.lin)[None], 0.0)
             den_j2 = jnp.where(w.liq_j, (rho_j / rho0) ** 2, 1.0)
-            return lp.accum_r(w, jnp.where(w.liq_j, -v0 / den_j2 * p_j * gs, 0.0),
-                              acc)
+            fac_j = jnp.where(w.liq_j, -v0 / den_j2 * p_j, 0.0) * gs
+            fac_h = fac_home * gs
+            return acc + jnp.stack([
+                jnp.sum(fac_j * lp.rij(w, c), axis=1)
+                - lp.shift_out(mg * jnp.sum(fac_h * lp.rij(w, c), axis=0),
+                               w.lin)
+                for c in range(3)])
 
-        dij_pj = loop.scan(dij_fn, dense_ops._zeros(g_l, 3))
+        dij_pj = loop.scan_sym(dij_fn, dense_ops._zeros(g_l, 3))
         # dij_pj crosses the slab boundary only through its own window scan;
         # lower+lift re-syncs the halo columns before it is read as a
         # neighbor quantity in the s sweep below.
@@ -185,15 +212,26 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     dpi_l = comm.lift(pp) / den_i2_l
     dpi_pad = loop.pad(dpi_l, 0.0)
 
-    def force_fn(acc, w, lp):
+    def force_fn(acc, w, lp, mg):
+        """Half-window: the force coefficient C(receiver, source) is
+        v0 (dpi_r + dpi_s) for a liquid source and Vs dpi_r for a solid
+        source; the home side uses C(home, nbr), the mirror side
+        C(nbr, home) with the sign flip carried by -r."""
         gs = dense_ops._masked_gs(w, cfg)
+        dp_h = dpi_l[:, None, :]
         dp_j = jnp.where(w.liq_j, lp.shift(dpi_pad, w.lin)[None], 0.0)
-        coeff = jnp.where(w.liq_j, v0 * (dpi_l[:, None, :] + dp_j),
-                          jnp.where(w.sol_j,
-                                    cfg.solid_volume * dpi_l[:, None, :], 0.0))
-        return lp.accum_r(w, -coeff * gs, acc)
+        sym = v0 * (dp_h + dp_j)
+        c_hn = jnp.where(w.liq_j, sym,
+                         jnp.where(w.sol_j, cfg.solid_volume * dp_h, 0.0))
+        c_nh = jnp.where(liq_home, sym,
+                         jnp.where(sol_home, cfg.solid_volume * dp_j, 0.0))
+        return acc + jnp.stack([
+            -jnp.sum(c_hn * gs * lp.rij(w, c), axis=1)
+            + lp.shift_out(mg * jnp.sum(c_nh * gs * lp.rij(w, c), axis=0),
+                           w.lin)
+            for c in range(3)])
 
-    d_vel_p = comm.lower(loop.scan(force_fn, dense_ops._zeros(g_l, 3)))
+    d_vel_p = comm.lower(loop.scan_sym(force_fn, dense_ops._zeros(g_l, 3)))
     velp = velp + jnp.where(comm._liq[None], d_vel_p * dt, 0.0)
     return MidResult(vel=velp, pressure=pp, delta_v=visc.delta_v,
                      iters=iters, visc_iters=visc.iters, err=err)
