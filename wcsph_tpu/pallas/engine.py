@@ -44,6 +44,7 @@ Numerical contract: op-for-op parity with the XLA twins in dense_ops.py
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -57,6 +58,13 @@ from ..grid import DenseGrid, EMPTY_POS, _OFFSETS
 
 _EPS = 1.0e-5
 _MARGIN = 128          # minor-axis sentinel margin (covers |dy*gz+dz| <= gz+1)
+
+# Half-window (Newton) sweeps for the solver-loop ops: each +-offset pair is
+# evaluated once with dual-sided emits (see _build_sweep_sym).  Default on;
+# settable for A/B measurements (WCSPH_SYM_SWEEPS=0).
+import os as _os
+
+SYM_SWEEPS = _os.environ.get("WCSPH_SYM_SWEEPS", "1") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -89,6 +97,17 @@ def make_plan(cfg: SimConfig, cap: int) -> _Plan:
     Q = _round_up(-(-P // nq), 128)
     return _Plan(C=cap, NRB=cap // 8, gx=gx, gy=gy, gz=gz, P=P, Q=Q, nq=nq,
                  PP=2 * _MARGIN + nq * Q, NX=gx + 2, Wq=Q + 2 * _MARGIN)
+
+
+def fine_plan(plan: _Plan) -> _Plan:
+    """Half-Q variant with the SAME padded layout (PP/NX unchanged), for
+    many-field kernels whose per-program scratch + body temporaries would
+    exceed scoped VMEM at full Q.  Falls back to the coarse plan when Q
+    cannot split on a 128 boundary."""
+    if plan.Q % 256 != 0:
+        return plan
+    q = plan.Q // 2
+    return plan._replace(Q=q, nq=plan.nq * 2, Wq=q + 2 * _MARGIN)
 
 
 def _pad_field(plan: _Plan, a: jnp.ndarray, fill) -> jnp.ndarray:
@@ -329,6 +348,199 @@ def _build_sweep(plan: _Plan, n_fields: int, field_comps, n_out: int,
 
 
 # ---------------------------------------------------------------------------
+# Half-window (Newton) sweep: 13+1 offsets, dual-sided emits, overlap-add
+# ---------------------------------------------------------------------------
+
+def _sym_offsets():
+    """The zero offset plus the 13 offsets with positive linear shift,
+    grouped as (dy, dz) -> list of dx (dx in {0, 1} only)."""
+    table = []
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            dxs = []
+            for dx in (0, 1):
+                lin3 = (dx, dy, dz)
+                if lin3 == (0, 0, 0):
+                    dxs.append(0)           # the self-offset block
+                    continue
+                # positive linear offset <=> (dx, dy, dz) lexicographically
+                # positive with gy,gz >= 3
+                if dx == 1 or dy > 0 or (dy == 0 and dz > 0):
+                    dxs.append(dx)
+            table.append(((dy, dz), dxs))
+    assert sum(len(d) for _, d in table) == 14
+    return table
+
+
+def _active_masks_sym(plan: _Plan, grid: DenseGrid):
+    """(act_liq, nz_liq, act_any, nz_any) for the 14 half-window offsets.
+    act_liq uses the liquid-on-either-side rule (the mirror write makes
+    every block liquid-relevant from both ends); act_any only requires both
+    sides occupied (for ops whose outputs are read at solid slots too)."""
+    ca = _chunk_counts(plan, grid.valid)       # (NRB, NX, nq+2)
+    cl = _chunk_counts(plan, grid.liquid)
+    px = np.arange(plan.gx)
+    q = np.arange(plan.nq)
+    home_a = ca[:, px + 1][:, :, q + 1]
+    home_l = cl[:, px + 1][:, :, q + 1]
+    wts = (1 << np.arange(plan.NRB * plan.NRB, dtype=np.int32)).reshape(
+        plan.NRB, plan.NRB)
+    wts = jnp.asarray(wts)[:, :, None, None]
+    bits_l, bits_a = [], []
+    for (dy, dz), dxs in _sym_offsets():
+        for dx in dxs:
+            sgn = int(np.sign(dy * plan.gz + dz))
+            na = ca[:, px + 1 + dx][:, :, q + 1]
+            nl = cl[:, px + 1 + dx][:, :, q + 1]
+            if sgn != 0:
+                na = na + ca[:, px + 1 + dx][:, :, q + 1 + sgn]
+                nl = nl + cl[:, px + 1 + dx][:, :, q + 1 + sgn]
+            pair_any = (home_a[:, None] > 0) & (na[None] > 0)
+            pair_liq = pair_any & ((home_l[:, None] > 0) | (nl[None] > 0))
+            bits_a.append(jnp.sum(wts * pair_any, axis=(0, 1)))
+            bits_l.append(jnp.sum(wts * pair_liq, axis=(0, 1)))
+    act_l = jnp.stack(bits_l, axis=-1).astype(jnp.int32)   # (gx, nq, 14)
+    act_a = jnp.stack(bits_a, axis=-1).astype(jnp.int32)
+    nz_l = (jnp.sum(act_l, axis=2) > 0).astype(jnp.int32)
+    nz_a = (jnp.sum(act_a, axis=2) > 0).astype(jnp.int32)
+    return act_l, nz_l, act_a, nz_a
+
+
+def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
+                     emit, interpret: bool):
+    """Half-window pallas_call: every +-offset pair is evaluated ONCE; the
+    home contribution accumulates in output row 0 (own plane) and the mirror
+    contribution in row dx at the neighbor's lane window.  The caller folds
+    the (gx, nq, 2, n_out, C, Wq) output with _fold_sym.  DMAs only 2 plane
+    rows per program (own + next) instead of 3."""
+    C, NRB, Q, Wq, nq = plan.C, plan.NRB, plan.Q, plan.Wq, plan.nq
+    gz = plan.gz
+
+    def kernel(nz_ref, act_ref, *refs):
+        ins = refs[:n_fields]
+        out_ref = refs[n_fields]
+        bufs = refs[n_fields + 1:n_fields + 1 + n_fields]
+        sem = refs[-1]
+        px = pl.program_id(0)
+        q = pl.program_id(1)
+
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        @pl.when(nz_ref[px, q] != 0)
+        def _():
+            base = q * Q
+            copies = []
+            for f in range(n_fields):
+                for comp in range(field_comps[f]):
+                    for i in range(2):          # own plane + next plane
+                        src = ins[f].at[comp, px + 1 + i, :, pl.ds(base, Wq)]
+                        dst = bufs[f].at[comp, i, :, :]
+                        copies.append(pltpu.make_async_copy(src, dst, sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1))
+
+            oid = 0
+            for (dy, dz), dxs in _sym_offsets():
+                lin = _MARGIN + dy * gz + dz
+                for dx in dxs:
+                    is_zero = (dx, dy, dz) == (0, 0, 0)
+                    m = act_ref[px, q, oid]
+                    oid += 1
+
+                    def offset_block(m=m, dx=dx, lin=lin, is_zero=is_zero):
+                        @pl.when(m != 0)
+                        def _():
+                            def rb_body(rbi, _):
+                                rbh = rbi // NRB
+                                rbn = rbi - rbh * NRB
+
+                                @pl.when(((m >> (rbh * NRB + rbn)) & 1) != 0)
+                                def _():
+                                    hs = pl.ds(pl.multiple_of(rbh * 8, 8), 8)
+                                    ns = pl.ds(pl.multiple_of(rbn * 8, 8), 8)
+
+                                    def home(f, c=0):
+                                        return bufs[f][c, 0, hs,
+                                                       _MARGIN:_MARGIN + Q][:, None, :]
+
+                                    def nbr(f, c=0):
+                                        return bufs[f][c, dx, ns,
+                                                       lin:lin + Q][None, :, :]
+
+                                    r = tuple(home(0, c) - nbr(0, c)
+                                              for c in range(3))
+                                    d2 = (r[0] * r[0] + r[1] * r[1]
+                                          + r[2] * r[2])
+                                    mask = d2 <= emit.h2
+                                    if is_zero:
+                                        mask = mask & ~(eye & (rbh == rbn))
+                                    ctx = PairCtx(r=r, d2=d2, mask=mask,
+                                                  home=home, nbr=nbr,
+                                                  h=emit.h)
+                                    hvals, mvals = emit.sym(ctx)
+                                    for ch, val in enumerate(hvals):
+                                        cur = out_ref[0, 0, 0, ch, hs,
+                                                      _MARGIN:_MARGIN + Q]
+                                        out_ref[0, 0, 0, ch, hs,
+                                                _MARGIN:_MARGIN + Q] = cur + val
+                                    if not is_zero:
+                                        for ch, val in enumerate(mvals):
+                                            cur = out_ref[0, 0, dx, ch, ns,
+                                                          lin:lin + Q]
+                                            out_ref[0, 0, dx, ch, ns,
+                                                    lin:lin + Q] = cur + val
+                                return 0
+
+                            jax.lax.fori_loop(0, NRB * NRB, rb_body, 0,
+                                              unroll=False)
+
+                    offset_block()
+
+    scratch = [pltpu.VMEM((field_comps[f], 2, C, Wq), jnp.float32)
+               for f in range(n_fields)]
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_fields,
+        out_specs=pl.BlockSpec((1, 1, 2, n_out, C, Wq),
+                               lambda px, q, *_: (px, q, 0, 0, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.gx, nq, 2, n_out, C, Wq),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )
+
+
+def _fold_sym(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
+    """Overlap-add the half-window output: chunks within a plane overlap in
+    their lane margins; row 1 carries contributions to the NEXT plane.
+    (gx, nq, 2, n_out, C, Wq) -> (n_out, C, NC)."""
+    gx, nq, _, nout, C, Wq = out.shape
+    Q, M, P = plan.Q, _MARGIN, plan.P
+    length = nq * Q + 2 * M
+    acc = jnp.zeros((gx, 2, nout, C, length), jnp.float32)
+    for q in range(nq):
+        acc = acc.at[..., q * Q:q * Q + Wq].add(out[:, q])
+    own, nxt = acc[:, 0], acc[:, 1]
+    tot = own.at[1:].add(nxt[:-1])
+    interior = tot[..., M:M + nq * Q][..., :P]       # (gx, nout, C, P)
+    return jnp.moveaxis(interior, 0, 2).reshape(nout, C, gx * P)
+
+
+# ---------------------------------------------------------------------------
 # Op bodies (each mirrors its dense_ops twin; reference cites live there)
 # ---------------------------------------------------------------------------
 
@@ -365,6 +577,34 @@ class _DensityAlpha(_Emit):
             jnp.sum(lv2 * ctx.d2, axis=1),
         ]
 
+    def sym(self, ctx: PairCtx):
+        return _DensityAlphaSym.channels(self, ctx)
+
+
+class _DensityAlphaSym:
+    """Shared dual-sided body for the density channels (used by the sym
+    variants of _DensityAlpha / _DensityAlphaDrho)."""
+
+    @staticmethod
+    def channels(self, ctx: PairCtx):
+        cfg = self.cfg
+        wk = ctx.w()
+        gs = ctx.gs()
+        vj = ctx.nbr(1)
+        vh = ctx.home(1)
+        liq_j = ctx.nbr(2)
+        liq_h = ctx.home(2)
+        cntf = ctx.mask.astype(jnp.float32)
+        lv2 = (cfg.liquid_volume ** 2) * gs * gs * ctx.d2
+        home = [jnp.sum(vj * wk, axis=1), jnp.sum(cntf, axis=1)]
+        mirr = [jnp.sum(vh * wk, axis=0), jnp.sum(cntf, axis=0)]
+        for c in range(3):
+            home.append(jnp.sum(vj * gs * ctx.r[c], axis=1))
+            mirr.append(-jnp.sum(vh * gs * ctx.r[c], axis=0))
+        home.append(jnp.sum(liq_j * lv2, axis=1))
+        mirr.append(jnp.sum(liq_h * lv2, axis=0))
+        return home, mirr
+
 
 class _DensityAlphaDrho(_Emit):
     """_DensityAlpha plus the divergence accumulation of the CURRENT packed
@@ -381,6 +621,15 @@ class _DensityAlphaDrho(_Emit):
         out.append(jnp.sum(ctx.nbr(1) * ctx.gs() * dv_dot, axis=1))
         return out
 
+    def sym(self, ctx: PairCtx):
+        home, mirr = _DensityAlphaSym.channels(self, ctx)
+        dv_dot = sum((ctx.home(3, c) - ctx.nbr(3, c)) * ctx.r[c]
+                     for c in range(3))
+        f = ctx.gs() * dv_dot
+        home.append(jnp.sum(ctx.nbr(1) * f, axis=1))
+        mirr.append(jnp.sum(ctx.home(1) * f, axis=0))
+        return home, mirr
+
 
 class _KappaAcc(_Emit):
     """acc = sum_j V_j (k_i + k_j) gs r (dense_ops.kappa_velocity_update;
@@ -393,6 +642,19 @@ class _KappaAcc(_Emit):
         cfac = ctx.nbr(1) * (ctx.home(2) + ctx.nbr(2)) * ctx.gs()
         return [jnp.sum(cfac * ctx.r[c], axis=1) for c in range(3)]
 
+    def sym(self, ctx: PairCtx):
+        """Dual-sided: F = (k_i + k_j) gs r is shared; the home receiver
+        weights by V_j, the mirror receiver by -V_i (dense_ops twin)."""
+        ksum_gs = (ctx.home(2) + ctx.nbr(2)) * ctx.gs()
+        vj = ctx.nbr(1)
+        vh = ctx.home(1)
+        home, mirr = [], []
+        for c in range(3):
+            f = ksum_gs * ctx.r[c]
+            home.append(jnp.sum(vj * f, axis=1))
+            mirr.append(-jnp.sum(vh * f, axis=0))
+        return home, mirr
+
 
 class _DivAcc(_Emit):
     """acc = sum_j V_j gs (v_i - v_j).r (dense_ops._div_accum)."""
@@ -404,6 +666,15 @@ class _DivAcc(_Emit):
         dv_dot = sum((ctx.home(2, c) - ctx.nbr(2, c)) * ctx.r[c]
                      for c in range(3))
         return [jnp.sum(ctx.nbr(1) * ctx.gs() * dv_dot, axis=1)]
+
+    def sym(self, ctx: PairCtx):
+        """gs (v_i - v_j).r double-flips under i<->j: both receivers get a
+        plus sign; only the volume weight swaps."""
+        dv_dot = sum((ctx.home(2, c) - ctx.nbr(2, c)) * ctx.r[c]
+                     for c in range(3))
+        f = ctx.gs() * dv_dot
+        return ([jnp.sum(ctx.nbr(1) * f, axis=1)],
+                [jnp.sum(ctx.home(1) * f, axis=0)])
 
 
 class _ViscAcc(_Emit):
@@ -427,6 +698,31 @@ class _ViscAcc(_Emit):
                   for c in range(3))
         cfac = coeff * dxr * ctx.gs()
         return [jnp.sum(cfac * ctx.r[c], axis=1) for c in range(3)]
+
+    def _sym_coeffs(self, ctx: PairCtx):
+        """(c_hn, c_nh, gs, dxr): receiver/source pair coefficients for both
+        sides (one reciprocal of the shared denominator), the masked gradW
+        factor and the (x_i - x_j).r dot (double-flip symmetric)."""
+        cfg = self.cfg
+        a_liq = cfg.dim_coff * cfg.viscosity * cfg.liquid_mass
+        b_sol = (cfg.dim_coff * cfg.viscosity_b * cfg.rest_density
+                 * cfg.solid_volume)
+        rd = 1.0 / (ctx.d2 + 0.01 * self.h2)
+        c_hn = (ctx.nbr(3) * a_liq * ctx.nbr(2)
+                + ctx.nbr(4) * b_sol * ctx.home(2)) * rd
+        c_nh = (ctx.home(3) * a_liq * ctx.home(2)
+                + ctx.home(4) * b_sol * ctx.nbr(2)) * rd
+        dxr = sum((ctx.home(1, c) - ctx.nbr(1, c)) * ctx.r[c]
+                  for c in range(3))
+        return c_hn, c_nh, ctx.gs(), dxr
+
+    def sym(self, ctx: PairCtx):
+        c_hn, c_nh, gs, dxr = self._sym_coeffs(ctx)
+        fh = c_hn * dxr * gs
+        fn = c_nh * dxr * gs
+        home = [jnp.sum(fh * ctx.r[c], axis=1) for c in range(3)]
+        mirr = [-jnp.sum(fn * ctx.r[c], axis=0) for c in range(3)]
+        return home, mirr
 
 
 class _ViscInit(_Emit):
@@ -453,6 +749,21 @@ class _ViscInit(_Emit):
         cfac = coeff * dxr * gs
         out += [jnp.sum(cfac * r[c], axis=1) for c in range(3)]
         return out
+
+    def sym(self, ctx: PairCtx):
+        c_hn, c_nh, gs, dxr = _ViscAcc._sym_coeffs(self, ctx)
+        r = ctx.r
+        cgh = c_hn * gs
+        cgn = c_nh * gs
+        pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        # r_a r_b products are sign-invariant under r -> -r
+        home = [jnp.sum(cgh * r[a] * r[b], axis=1) for (a, b) in pairs]
+        mirr = [jnp.sum(cgn * r[a] * r[b], axis=0) for (a, b) in pairs]
+        fh = c_hn * dxr * gs
+        fn = c_nh * dxr * gs
+        home += [jnp.sum(fh * r[c], axis=1) for c in range(3)]
+        mirr += [-jnp.sum(fn * r[c], axis=0) for c in range(3)]
+        return home, mirr
 
 
 class _Vorticity(_Emit):
@@ -494,6 +805,47 @@ class _Vorticity(_Emit):
             out.append(jnp.sum(stretch_j * cr_v, axis=1))
         return out
 
+    def sym(self, ctx: PairCtx):
+        """Dual-sided: the omega/velocity deltas and the type-dependent
+        masses are NOT symmetric (d' = q_n - liq_h q_h from the neighbor's
+        view), so each side evaluates its own delta; geometry, gs and W are
+        shared, and cross(d', r_nh) = -cross(d', r)."""
+        cfg = self.cfg
+        m = cfg.liquid_mass
+        rho0vs = cfg.rest_density * cfg.solid_volume
+        rho0vl = cfg.rest_density * cfg.liquid_volume
+        liq_j, sol_j = ctx.nbr(4), ctx.nbr(5)
+        liq_h, sol_h = ctx.home(4), ctx.home(5)
+        gs = ctx.gs()
+        wk = ctx.w()
+        r = ctx.r
+        d_om = [ctx.home(2, c) - liq_j * ctx.nbr(2, c) for c in range(3)]
+        d_ve = [ctx.home(1, c) - liq_j * ctx.nbr(1, c) for c in range(3)]
+        d_om_m = [ctx.nbr(2, c) - liq_h * ctx.home(2, c) for c in range(3)]
+        d_ve_m = [ctx.nbr(1, c) - liq_h * ctx.home(1, c) for c in range(3)]
+        mass_j = m * liq_j + rho0vs * sol_j
+        mass_h = m * liq_h + rho0vs * sol_h
+        str_j = m * liq_j + rho0vl * sol_j
+        str_h = m * liq_h + rho0vl * sol_h
+        home, mirr = [], []
+        for c in range(3):
+            c0, c1 = (c + 1) % 3, (c + 2) % 3
+            cr = (d_om[c0] * r[c1] - d_om[c1] * r[c0]) * gs
+            cr_m = (d_om_m[c0] * r[c1] - d_om_m[c1] * r[c0]) * gs
+            home.append(jnp.sum(mass_j * cr, axis=1))
+            mirr.append(-jnp.sum(mass_h * cr_m, axis=0))
+        for c in range(3):
+            home.append(jnp.sum(liq_j * wk * ctx.nbr(3) * d_om[c], axis=1))
+            mirr.append(jnp.sum(liq_h * wk * ctx.home(3) * d_om_m[c],
+                                axis=0))
+        for c in range(3):
+            c0, c1 = (c + 1) % 3, (c + 2) % 3
+            cr = (d_ve[c0] * r[c1] - d_ve[c1] * r[c0]) * gs
+            cr_m = (d_ve_m[c0] * r[c1] - d_ve_m[c1] * r[c0]) * gs
+            home.append(jnp.sum(str_j * cr, axis=1))
+            mirr.append(-jnp.sum(str_h * cr_m, axis=0))
+        return home, mirr
+
 
 # ---------------------------------------------------------------------------
 # Engine front end
@@ -534,6 +886,14 @@ class SweepEngine:
         act_any, act_liq, nz_any, nz_liq = _active_masks(p, grid)
         self.act_any, self.act_liq = act_any, act_liq
         self.nz_any, self.nz_liq = nz_any, nz_liq
+        (self.act_sym, self.nz_sym,
+         self.act_sym_any, self.nz_sym_any) = _active_masks_sym(p, grid)
+        self.plan_fine = fine_plan(p)
+        if self.plan_fine is not p:
+            (self.act_sym_f, self.nz_sym_f, _, _) = _active_masks_sym(
+                self.plan_fine, grid)
+        else:
+            self.act_sym_f, self.nz_sym_f = self.act_sym, self.nz_sym
 
     # -- plumbing ---------------------------------------------------------
 
@@ -556,6 +916,23 @@ class SweepEngine:
         out = call(nz, act, *fields)
         return _unpad_out(p, out)
 
+    def _run_sym(self, emit_cls, fields, liquid_gated=True, fine=False):
+        """Half-window variant: one evaluation per +-offset pair, dual-sided
+        emit (emit_cls.sym), overlap-add fold.  ``fine`` halves the chunk
+        size for kernels whose dual-sided bodies are VMEM-heavy."""
+        emit = emit_cls(self.cfg)
+        p = self.plan_fine if fine else self.plan
+        comps = [f.shape[0] for f in fields]
+        call = _build_sweep_sym(p, len(fields), comps, emit.n_out, emit,
+                                self.interpret)
+        if fine:
+            out = call(self.nz_sym_f, self.act_sym_f, *fields)
+        elif liquid_gated:
+            out = call(self.nz_sym, self.act_sym, *fields)
+        else:
+            out = call(self.nz_sym_any, self.act_sym_any, *fields)
+        return _fold_sym(p, out)
+
     # -- ops --------------------------------------------------------------
 
     def density_alpha(self, with_alpha: bool = True, velp=None):
@@ -564,15 +941,15 @@ class SweepEngine:
         velocity (fused warm-start channel; see _DensityAlphaDrho)."""
         from .. import kernels
         cfg = self.cfg
+        run = (partial(self._run_sym, liquid_gated=False) if SYM_SWEEPS
+               else partial(self._run, liquid_gated=False))
         if velp is not None:
-            out = self._run(_DensityAlphaDrho,
-                            [self.xp_pad, self.vol_pad, self.liq_pad,
-                             self._pad3(velp)],
-                            liquid_gated=False)
+            out = run(_DensityAlphaDrho,
+                      [self.xp_pad, self.vol_pad, self.liq_pad,
+                       self._pad3(velp)])
         else:
-            out = self._run(_DensityAlpha,
-                            [self.xp_pad, self.vol_pad, self.liq_pad],
-                            liquid_gated=False)
+            out = run(_DensityAlpha,
+                      [self.xp_pad, self.vol_pad, self.liq_pad])
         rho_acc, count = out[0], out[1]
         w0 = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
         rho = cfg.rest_density * (w0 + rho_acc)
@@ -587,15 +964,17 @@ class SweepEngine:
         return rho, alpha, count.astype(jnp.int32)
 
     def kappa_velocity_update(self, velp, kp, dt):
-        acc = self._run(_KappaAcc,
-                        [self.xp_pad, self.vol_pad, self._pad1(kp)])
+        fields = [self.xp_pad, self.vol_pad, self._pad1(kp)]
+        acc = (self._run_sym(_KappaAcc, fields) if SYM_SWEEPS
+               else self._run(_KappaAcc, fields))
         # liquid-masked: boundary slots keep velocity 0 exactly (the
         # reference only loops i over liquid, dfsph.py:449-477)
         return velp + jnp.where(self.grid.liquid[None], dt * acc, 0.0)
 
     def div_accum(self, velp):
-        out = self._run(_DivAcc,
-                        [self.xp_pad, self.vol_pad, self._pad3(velp)])
+        fields = [self.xp_pad, self.vol_pad, self._pad3(velp)]
+        out = (self._run_sym(_DivAcc, fields) if SYM_SWEEPS
+               else self._run(_DivAcc, fields))
         return out[0]
 
     def drho_divergence(self, velp, countp):
@@ -609,19 +988,21 @@ class SweepEngine:
         return jnp.maximum(rhop / self.cfg.rest_density + dt * acc, 1.0)
 
     def visc_matvec(self, xv, rhop, dt):
-        acc = self._run(_ViscAcc,
-                        [self.xp_pad, self._pad3(xv),
-                         self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
-                         self.liq_pad, self.sol_pad])
+        run = self._run_sym if SYM_SWEEPS else self._run
+        acc = run(_ViscAcc,
+                  [self.xp_pad, self._pad3(xv),
+                   self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
+                   self.liq_pad, self.sol_pad])
         return xv - acc * (dt / jnp.maximum(rhop, 1.0))[None]
 
     def visc_init(self, x0, rhop, dt):
         """(Minv: Sym3, A x0) — twin of dense_ops.visc_init."""
         from ..utils import mat3
-        out = self._run(_ViscInit,
-                        [self.xp_pad, self._pad3(x0),
-                         self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
-                         self.liq_pad, self.sol_pad])
+        run = self._run_sym if SYM_SWEEPS else self._run
+        out = run(_ViscInit,
+                  [self.xp_pad, self._pad3(x0),
+                   self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
+                   self.liq_pad, self.sol_pad])
         inv_rho = dt / jnp.maximum(rhop, 1.0)
         a = mat3.sym3_identity_minus(mat3.Sym3(*out[:6]), inv_rho)
         ax0 = x0 - out[6:9] * inv_rho[None]
@@ -630,10 +1011,14 @@ class SweepEngine:
     def vorticity(self, velp, omegap, rhop, countp, dt):
         """(d_vel, new omega) — twin of dense_ops.vorticity."""
         cfg = self.cfg
-        out = self._run(_Vorticity,
-                        [self.xp_pad, self._pad3(velp), self._pad3(omegap),
-                         self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
-                         self.liq_pad, self.sol_pad])
+        # fine chunks: the dual-sided vorticity body keeps ~20 (8,8,Q) pair
+        # temporaries live, which exceeds scoped VMEM at full Q
+        run = (partial(self._run_sym, fine=True) if SYM_SWEEPS
+               else self._run)
+        out = run(_Vorticity,
+                  [self.xp_pad, self._pad3(velp), self._pad3(omegap),
+                   self._pad1(1.0 / jnp.maximum(rhop, 1.0), 1.0),
+                   self.liq_pad, self.sol_pad])
         cv, tr, st = out[0:3], out[3:6], out[6:9]
         inv_rho_i = 1.0 / jnp.maximum(rhop, 1.0)
         c_vo, c_in = cfg.vorticity_coff, cfg.vorticity_init

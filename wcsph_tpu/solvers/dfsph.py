@@ -202,6 +202,11 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
         rhop = comm.lower(stats.rho)
         alphap = comm.lower(stats.alpha)
         cntp = comm.lower(stats.count)
+    # alpha is a LIQUID quantity: the solver kappas k = drho * alpha / dt
+    # must stay exactly 0 at boundary slots, because the kappa sweep's
+    # (k_i + k_j) pair term only carries k_i for boundary neighbors in the
+    # reference (dfsph.py:449-477 j >= liquid_count branch)
+    alphap = jnp.where(comm._liq, alphap, 0.0)
 
     div = divergence_solve(comm, velp, kvp, alphap, cntp, dt, drho0=drho0)
     velp = div.vel
