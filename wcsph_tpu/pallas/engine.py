@@ -527,17 +527,32 @@ def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
 def _fold_sym(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
     """Overlap-add the half-window output: chunks within a plane overlap in
     their lane margins; row 1 carries contributions to the NEXT plane.
-    (gx, nq, 2, n_out, C, Wq) -> (n_out, C, NC)."""
+    (gx, nq, 2, n_out, C, Wq) -> (n_out, C, NC).
+
+    Margins always land in NEIGHBOR-chunk interiors (M < Q), so the fold is
+    pure slice/concat/add — .at[].add on static slices lowers to scatter-add
+    on TPU (~8 ms per call at 1M), which this formulation avoids."""
     gx, nq, _, nout, C, Wq = out.shape
     Q, M, P = plan.Q, _MARGIN, plan.P
-    length = nq * Q + 2 * M
-    acc = jnp.zeros((gx, 2, nout, C, length), jnp.float32)
-    for q in range(nq):
-        acc = acc.at[..., q * Q:q * Q + Wq].add(out[:, q])
-    own, nxt = acc[:, 0], acc[:, 1]
-    tot = own.at[1:].add(nxt[:-1])
-    interior = tot[..., M:M + nq * Q][..., :P]       # (gx, nout, C, P)
-    return jnp.moveaxis(interior, 0, 2).reshape(nout, C, gx * P)
+    interior = out[..., M:M + Q]                 # (gx, nq, 2, nout, C, Q)
+    lm = out[..., :M]                            # -> tail of chunk q-1
+    rm = out[..., M + Q:]                        # -> head of chunk q+1
+    tail_add = jnp.concatenate([lm[:, 1:], jnp.zeros_like(lm[:, :1])],
+                               axis=1)
+    head_add = jnp.concatenate([jnp.zeros_like(rm[:, :1]), rm[:, :-1]],
+                               axis=1)
+    # place the neighbor margins inside the Q-frame ([0,M) and [Q-M,Q));
+    # M <= Q always, so a margin never spans more than one neighbor chunk
+    zpad = [(0, 0)] * (out.ndim - 1)
+    chunks = (interior
+              + jnp.pad(head_add, zpad + [(0, Q - M)])
+              + jnp.pad(tail_add, zpad + [(Q - M, 0)]))
+    per_plane = jnp.moveaxis(chunks, 1, -2).reshape(
+        gx, 2, nout, C, nq * Q)
+    own, nxt = per_plane[:, 0], per_plane[:, 1]
+    tot = own + jnp.concatenate([jnp.zeros_like(nxt[:1]), nxt[:-1]], axis=0)
+    interior_p = tot[..., :P]                    # (gx, nout, C, P)
+    return jnp.moveaxis(interior_p, 0, 2).reshape(nout, C, gx * P)
 
 
 # ---------------------------------------------------------------------------
