@@ -29,10 +29,10 @@ def build_sim(n_side: int, solver: str = "dfsph"):
     sc = dam_break(particle_radius=r, fluid_dims=(n_side, n_side, n_side),
                    box_extent=extent)
     lo, hi = sc.domain(pad=6 * r)
-    # The Mosaic sweep engine (pallas/engine.py) wins at every scale on TPU.
-    # Rank-blocked capacity makes C=24 nearly free at rest, so the engine
-    # path also runs overflow-free (the XLA path default stays C=16).
-    use_pallas = solver == "dfsph"
+    # The Mosaic sweep engine (pallas/engine.py) wins at every large scale
+    # on TPU.  Rank-blocked capacity makes C=24 nearly free at rest, so the
+    # engine path also runs overflow-free (the XLA path default stays C=16).
+    use_pallas = solver in ("dfsph", "sesph")
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
                          cell_capacity=24 if use_pallas else 16)

@@ -119,3 +119,18 @@ def test_engine_step_matches_xla_step():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_x.vel), np.asarray(s_e.vel),
                                atol=1e-4)
+
+
+def test_sesph_force_matches():
+    """Fused explicit-viscosity + Tait-pressure sweep vs the XLA twins."""
+    from wcsph_tpu import ops as wops
+
+    cfg, grid, eng, velp, _ = _setup(cap=16, jitter=0.002)
+    stats = dense_ops.density_stats(grid, cfg, with_alpha=False)
+    rhop, pp = wops.tait_pressure(stats.rho, cfg)
+    acc_x = (dense_ops.explicit_viscosity_accel(grid, cfg, velp, rhop)
+             + dense_ops.pressure_accel_symmetric(grid, cfg, rhop, pp))
+    acc_e = eng.sesph_force(velp, rhop, pp)
+    liq = grid.liquid
+    _close(jnp.where(liq[None], acc_e, 0), jnp.where(liq[None], acc_x, 0),
+           rtol=2e-4)

@@ -862,6 +862,62 @@ class _Vorticity(_Emit):
         return home, mirr
 
 
+class _SesphForce(_Emit):
+    """SESPH explicit viscosity + symmetric Tait-pressure acceleration in
+    ONE sweep (twins: dense_ops.explicit_viscosity_accel +
+    pressure_accel_symmetric; reference sesph.py:168-188).  Channels:
+    [ax, ay, az].  Fields: [xp, vel3, rinv, rr, pi, p, liq, sol] where
+    rinv = 1/max(rho,1), rr = rho/rho0, pi = p/max(rho^2,1)."""
+
+    n_out = 3
+
+    def _terms(self, ctx: PairCtx):
+        cfg = self.cfg
+        A = cfg.dim_coff * cfg.explicit_viscosity * cfg.liquid_mass
+        B = cfg.dim_coff * cfg.explicit_viscosity_b * cfg.solid_volume
+        rd = 1.0 / (ctx.d2 + 0.01 * self.h2)
+        gs = ctx.gs()
+        dv_dot = sum((ctx.home(1, c) - ctx.nbr(1, c)) * ctx.r[c]
+                     for c in range(3))
+        vh_dot = sum(ctx.home(1, c) * ctx.r[c] for c in range(3))
+        vn_dot = sum(ctx.nbr(1, c) * ctx.r[c] for c in range(3))
+        return A, B, rd, gs, dv_dot, vh_dot, vn_dot
+
+    def _coeff(self, ctx, side, A, B, rd, gs, dv_dot, v_dot):
+        """Pair coefficient seen by one receiver; ``side`` picks which end
+        supplies the source-type masks and values."""
+        cfg = self.cfg
+        rho0 = cfg.rest_density
+        if side == "home":          # receiver = home, source = nbr
+            liq_s, sol_s = ctx.nbr(6), ctx.nbr(7)
+            rinv_s, rr_r = ctx.nbr(2), ctx.home(3)
+            pi_r, p_s, p_r = ctx.home(4), ctx.nbr(5), ctx.home(5)
+        else:                       # receiver = nbr, source = home
+            liq_s, sol_s = ctx.home(6), ctx.home(7)
+            rinv_s, rr_r = ctx.home(2), ctx.nbr(3)
+            pi_r, p_s, p_r = ctx.nbr(4), ctx.home(5), ctx.nbr(5)
+        visc = (liq_s * A * rinv_s * dv_dot + sol_s * B * rr_r * v_dot) * rd
+        pres = -rho0 * (cfg.liquid_volume * liq_s
+                        * (pi_r + p_s * rinv_s * rinv_s)
+                        + cfg.solid_volume * sol_s
+                        * (pi_r + p_r / (rho0 * rho0)))
+        return (visc + pres) * gs
+
+    def __call__(self, ctx: PairCtx):
+        A, B, rd, gs, dv_dot, vh_dot, _ = self._terms(ctx)
+        c_hn = self._coeff(ctx, "home", A, B, rd, gs, dv_dot, vh_dot)
+        return [jnp.sum(c_hn * ctx.r[c], axis=1) for c in range(3)]
+
+    def sym(self, ctx: PairCtx):
+        A, B, rd, gs, dv_dot, vh_dot, vn_dot = self._terms(ctx)
+        c_hn = self._coeff(ctx, "home", A, B, rd, gs, dv_dot, vh_dot)
+        # from the neighbor's view the solid-viscosity dot is v_n . r_nh
+        c_nh = self._coeff(ctx, "mirror", A, B, rd, gs, dv_dot, -vn_dot)
+        home = [jnp.sum(c_hn * ctx.r[c], axis=1) for c in range(3)]
+        mirr = [-jnp.sum(c_nh * ctx.r[c], axis=0) for c in range(3)]
+        return home, mirr
+
+
 # ---------------------------------------------------------------------------
 # Engine front end
 # ---------------------------------------------------------------------------
@@ -1001,6 +1057,19 @@ class SweepEngine:
         """Twin of dense_ops.advected_density."""
         acc = self.div_accum(velp)
         return jnp.maximum(rhop / self.cfg.rest_density + dt * acc, 1.0)
+
+    def sesph_force(self, velp, rhop, pp):
+        """Fused explicit-viscosity + Tait-pressure acceleration (twin of
+        dense_ops.explicit_viscosity_accel + pressure_accel_symmetric)."""
+        cfg = self.cfg
+        rinv = 1.0 / jnp.maximum(rhop, 1.0)
+        rr = rhop / cfg.rest_density
+        pi = pp * rinv * rinv
+        run = self._run_sym if SYM_SWEEPS else self._run
+        return run(_SesphForce,
+                   [self.xp_pad, self._pad3(velp), self._pad1(rinv, 1.0),
+                    self._pad1(rr, 1.0), self._pad1(pi), self._pad1(pp),
+                    self.liq_pad, self.sol_pad])
 
     def visc_matvec(self, xv, rhop, dt):
         run = self._run_sym if SYM_SWEEPS else self._run

@@ -142,6 +142,11 @@ class SlabEngine:
         return c.lower(self._e.advected_density(c.lift(velp),
                                                 c.lift(rhop, 1.0), dt))
 
+    def sesph_force(self, velp, rhop, pp):
+        c = self._c
+        return c.lower(self._e.sesph_force(c.lift(velp), c.lift(rhop, 1.0),
+                                           c.lift(pp)))
+
     def visc_matvec(self, xv, rhop, dt):
         c = self._c
         return c.lower(self._e.visc_matvec(c.lift(xv), c.lift(rhop, 1.0),

@@ -34,16 +34,21 @@ def default_config(**overrides) -> SimConfig:
 def step_middle(comm, cfg: SimConfig, velp, dt):
     """Density -> EOS -> forces -> velocity update, comm-parameterized
     (runs single-device or slab-sharded; see parallel/halo.py)."""
-    stats = dense_ops.density_stats(comm.grid, comm.cfg, with_alpha=False)
-    rhop, pp = ops.tait_pressure(comm.lower(stats.rho), cfg)
-
     gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
-    rho_l = comm.lift(rhop, 1.0)
-    d_vel = (gvec
-             + comm.lower(dense_ops.explicit_viscosity_accel(
-                 comm.grid, comm.cfg, comm.lift(velp), rho_l))
-             + comm.lower(dense_ops.pressure_accel_symmetric(
-                 comm.grid, comm.cfg, rho_l, comm.lift(pp))))
+    if comm.engine is not None:
+        rho_raw, _, _ = comm.engine.density_alpha(with_alpha=False)
+        rhop, pp = ops.tait_pressure(rho_raw, cfg)
+        d_vel = gvec + comm.engine.sesph_force(velp, rhop, pp)
+    else:
+        stats = dense_ops.density_stats(comm.grid, comm.cfg,
+                                        with_alpha=False)
+        rhop, pp = ops.tait_pressure(comm.lower(stats.rho), cfg)
+        rho_l = comm.lift(rhop, 1.0)
+        d_vel = (gvec
+                 + comm.lower(dense_ops.explicit_viscosity_accel(
+                     comm.grid, comm.cfg, comm.lift(velp), rho_l))
+                 + comm.lower(dense_ops.pressure_accel_symmetric(
+                     comm.grid, comm.cfg, rho_l, comm.lift(pp))))
     return velp + d_vel * dt, rhop, pp                  # sesph.py:191-196
 
 
@@ -51,7 +56,12 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
     grid = build_grid(state.pos, nl, cfg)
-    comm = NoComm(grid, cfg)
+    if cfg.use_pallas:
+        from ..pallas.engine import SweepEngine
+
+        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+    else:
+        comm = NoComm(grid, cfg)
 
     velp, rhop, pp = step_middle(comm, cfg, pack_liquid(grid, state.vel), dt)
     vel = unpack_liquid(grid, velp, state.vel)
