@@ -112,7 +112,8 @@ def run_throughput(solvers, scales, steps: int, warmup: int) -> list[dict]:
     rows = []
     for solver in solvers:
         for side in scales:
-            use_pallas = solver in ("dfsph", "sesph") and side >= 40
+            use_pallas = (solver in ("dfsph", "sesph", "pcisph")
+                          and side >= 40)
             sim = _build(solver, "canonical", side=side,
                          use_pallas=use_pallas)
             nl = sim.state.n_liquid

@@ -134,3 +134,33 @@ def test_sesph_force_matches():
     liq = grid.liquid
     _close(jnp.where(liq[None], acc_e, 0), jnp.where(liq[None], acc_x, 0),
            rtol=2e-4)
+
+
+@pytest.mark.parametrize("solver", ["sesph", "pcisph"])
+def test_solver_step_engine_matches_xla(solver):
+    """Full engine-path steps for the newly engine-ized solvers must
+    reproduce the XLA-path trajectories."""
+    import dataclasses
+
+    from wcsph_tpu.simulation import Simulation, default_config
+    from wcsph_tpu import dam_break as mk
+
+    r = 0.025
+    sc = mk(particle_radius=r, fluid_dims=(6, 6, 6), box_extent=0.7)
+    lo, hi = sc.domain(pad=4 * r)
+    out = {}
+    for use_pallas in (False, True):
+        cfg = default_config(solver, particle_radius=r, domain_min=lo,
+                             domain_max=hi, use_pallas=use_pallas)
+        sim = Simulation(sc, cfg, solver=solver)
+        sim.run(3)
+        out[use_pallas] = sim
+    px = np.asarray(out[False].state.pos)
+    pe = np.asarray(out[True].state.pos)
+    np.testing.assert_allclose(pe, px, rtol=2e-4, atol=1e-6)
+    vx = np.asarray(out[False].state.vel)
+    ve = np.asarray(out[True].state.vel)
+    np.testing.assert_allclose(ve, vx, rtol=2e-3, atol=1e-5)
+    if solver == "pcisph":
+        assert int(out[True].state.diag.pressure_iters) == \
+            int(out[False].state.diag.pressure_iters)

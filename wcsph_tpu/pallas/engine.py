@@ -918,6 +918,46 @@ class _SesphForce(_Emit):
         return home, mirr
 
 
+class _PcisphPredict(_Emit):
+    """PCISPH predicted density + pressure acceleration at the STARRED
+    positions (twin of pcisph._predicted_density_and_accel; reference
+    pcisph.py:237-278).  Field 0 is the PREDICTED position field — the
+    binning stays from the original positions, exactly like the XLA twin's
+    WindowLoop(grid, cfg, xp=xstar).  Channels: [adv, ax, ay, az];
+    fields: [xstar, vol, p, liq, sol]."""
+
+    n_out = 4
+
+    def _coeffs(self, ctx: PairCtx):
+        cfg = self.cfg
+        p_h = ctx.home(2)
+        p_n = ctx.nbr(2)
+        psum = p_h + p_n
+        c_hn = (ctx.nbr(3) * cfg.liquid_volume * psum
+                + ctx.nbr(4) * cfg.solid_volume * p_h)
+        c_nh = (ctx.home(3) * cfg.liquid_volume * psum
+                + ctx.home(4) * cfg.solid_volume * p_n)
+        return c_hn, c_nh
+
+    def __call__(self, ctx: PairCtx):
+        c_hn, _ = self._coeffs(ctx)
+        wk = ctx.w()
+        gs = ctx.gs()
+        out = [jnp.sum(ctx.nbr(1) * wk, axis=1)]
+        out += [-jnp.sum(c_hn * gs * ctx.r[c], axis=1) for c in range(3)]
+        return out
+
+    def sym(self, ctx: PairCtx):
+        c_hn, c_nh = self._coeffs(ctx)
+        wk = ctx.w()
+        gs = ctx.gs()
+        home = [jnp.sum(ctx.nbr(1) * wk, axis=1)]
+        mirr = [jnp.sum(ctx.home(1) * wk, axis=0)]
+        home += [-jnp.sum(c_hn * gs * ctx.r[c], axis=1) for c in range(3)]
+        mirr += [jnp.sum(c_nh * gs * ctx.r[c], axis=0) for c in range(3)]
+        return home, mirr
+
+
 # ---------------------------------------------------------------------------
 # Engine front end
 # ---------------------------------------------------------------------------
@@ -1057,6 +1097,16 @@ class SweepEngine:
         """Twin of dense_ops.advected_density."""
         acc = self.div_accum(velp)
         return jnp.maximum(rhop / self.cfg.rest_density + dt * acc, 1.0)
+
+    def pcisph_predict(self, xstarp, pp):
+        """(adv_acc_raw, pressure accel) at the predicted positions
+        (pcisph.py:237-278); the caller adds the self term and clamps."""
+        run = self._run_sym if SYM_SWEEPS else self._run
+        # position field: margins need the far-away sentinel, not 0
+        out = run(_PcisphPredict,
+                  [self._pad3(xstarp, EMPTY_POS), self.vol_pad,
+                   self._pad1(pp), self.liq_pad, self.sol_pad])
+        return out[0], out[1:4]
 
     def sesph_force(self, velp, rhop, pp):
         """Fused explicit-viscosity + Tait-pressure acceleration (twin of

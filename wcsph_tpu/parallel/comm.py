@@ -147,6 +147,11 @@ class SlabEngine:
         return c.lower(self._e.sesph_force(c.lift(velp), c.lift(rhop, 1.0),
                                            c.lift(pp)))
 
+    def pcisph_predict(self, xstarp, pp):
+        c = self._c
+        adv, acc = self._e.pcisph_predict(c.lift(xstarp, 1e9), c.lift(pp))
+        return c.lower(adv), c.lower(acc)
+
     def visc_matvec(self, xv, rhop, dt):
         c = self._c
         return c.lower(self._e.visc_matvec(c.lift(xv), c.lift(rhop, 1.0),

@@ -124,14 +124,22 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
     OWNED layout (parallel/comm.py)."""
     coff = pci_coefficient(cfg.particle_radius)
     grid = comm.grid
+    w0 = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
 
     # non-pressure forces + density (pcisph.py:199-218)
-    stats = dense_ops.density_stats(grid, comm.cfg, with_alpha=False)
-    rhop_l = comm.lift(comm.lower(stats.rho), 1.0)
-    velp_l = comm.lift(velp)
-    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
-    d_vel = gvec + comm.lower(
-        dense_ops.explicit_viscosity_accel(grid, comm.cfg, velp_l, rhop_l))
+    if comm.engine is not None:
+        rhop, _, _ = comm.engine.density_alpha(with_alpha=False)
+        gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+        # sesph_force with zero pressure is the pure explicit viscosity
+        d_vel = gvec + comm.engine.sesph_force(velp, rhop,
+                                               jnp.zeros_like(rhop))
+    else:
+        stats = dense_ops.density_stats(grid, comm.cfg, with_alpha=False)
+        rhop_l = comm.lift(comm.lower(stats.rho), 1.0)
+        velp_l = comm.lift(velp)
+        gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+        d_vel = gvec + comm.lower(dense_ops.explicit_viscosity_accel(
+            grid, comm.cfg, velp_l, rhop_l))
 
     n_liq = comm.n_liquid()
     zero1 = jnp.zeros_like(velp[0])
@@ -139,14 +147,27 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
     def body(carry):
         d_vel_pre, pp, err, it = carry
         vel_star = velp + (d_vel + d_vel_pre) * dt      # pcisph.py:228-235
-        vel_star_l = comm.lift(vel_star)
-        xstar = grid.xp + jnp.where(grid.liquid[None], vel_star_l * dt, 0.0)
-        pp_l = comm.lift(pp)
-        adv, _ = _predicted_density_and_accel(grid, comm.cfg, xstar, pp_l)
-        adv = comm.lower(adv)
-        pp = pp + coff * (adv - 1.0) / (dt * dt)        # pcisph.py:255
-        _, acc = _predicted_density_and_accel(grid, comm.cfg, xstar, comm.lift(pp))
-        d_vel_pre = comm.lower(acc)
+        if comm.engine is not None:
+            # engine sweeps at the PREDICTED positions (owned layout)
+            xstar_o = comm.lower(grid.xp) + jnp.where(
+                comm._liq[None], vel_star * dt, 0.0)
+            adv_raw, _ = comm.engine.pcisph_predict(xstar_o, pp)
+            adv = jnp.maximum(w0 + adv_raw, 1.0)
+            pp = pp + coff * (adv - 1.0) / (dt * dt)    # pcisph.py:255
+            _, acc3 = comm.engine.pcisph_predict(xstar_o, pp)
+            d_vel_pre = acc3
+        else:
+            vel_star_l = comm.lift(vel_star)
+            xstar = grid.xp + jnp.where(grid.liquid[None],
+                                        vel_star_l * dt, 0.0)
+            pp_l = comm.lift(pp)
+            adv, _ = _predicted_density_and_accel(grid, comm.cfg, xstar,
+                                                  pp_l)
+            adv = comm.lower(adv)
+            pp = pp + coff * (adv - 1.0) / (dt * dt)    # pcisph.py:255
+            _, acc = _predicted_density_and_accel(grid, comm.cfg, xstar,
+                                                  comm.lift(pp))
+            d_vel_pre = comm.lower(acc)
         err = comm.lsum(adv - 1.0) / n_liq
         return d_vel_pre, pp, err, it + 1
 
@@ -169,8 +190,13 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     grid = build_grid(state.pos, nl, cfg)
     from ..parallel.comm import NoComm
 
-    mid = step_middle(NoComm(grid, cfg), cfg, pack_liquid(grid, state.vel),
-                      dt)
+    if cfg.use_pallas:
+        from ..pallas.engine import SweepEngine
+
+        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+    else:
+        comm = NoComm(grid, cfg)
+    mid = step_middle(comm, cfg, pack_liquid(grid, state.vel), dt)
     pp, iters, err = mid.pressure, mid.iters, mid.err
     velp = mid.vel
     vel, pressure = unpack_liquid_many(grid, [velp, pp],
