@@ -32,7 +32,7 @@ def build_sim(n_side: int, solver: str = "dfsph"):
     # The Mosaic sweep engine (pallas/engine.py) wins at every large scale
     # on TPU.  Rank-blocked capacity makes C=24 nearly free at rest, so the
     # engine path also runs overflow-free (the XLA path default stays C=16).
-    use_pallas = solver in ("dfsph", "sesph", "pcisph")
+    use_pallas = True   # every solver runs on the Mosaic sweep engine
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
                          cell_capacity=24 if use_pallas else 16)

@@ -112,8 +112,7 @@ def run_throughput(solvers, scales, steps: int, warmup: int) -> list[dict]:
     rows = []
     for solver in solvers:
         for side in scales:
-            use_pallas = (solver in ("dfsph", "sesph", "pcisph")
-                          and side >= 40)
+            use_pallas = side >= 40    # engine wins for every solver at scale
             sim = _build(solver, "canonical", side=side,
                          use_pallas=use_pallas)
             nl = sim.state.n_liquid

@@ -136,7 +136,7 @@ def test_sesph_force_matches():
            rtol=2e-4)
 
 
-@pytest.mark.parametrize("solver", ["sesph", "pcisph"])
+@pytest.mark.parametrize("solver", ["sesph", "pcisph", "iisph"])
 def test_solver_step_engine_matches_xla(solver):
     """Full engine-path steps for the newly engine-ized solvers must
     reproduce the XLA-path trajectories."""
@@ -161,6 +161,6 @@ def test_solver_step_engine_matches_xla(solver):
     vx = np.asarray(out[False].state.vel)
     ve = np.asarray(out[True].state.vel)
     np.testing.assert_allclose(ve, vx, rtol=2e-3, atol=1e-5)
-    if solver == "pcisph":
+    if solver in ("pcisph", "iisph"):
         assert int(out[True].state.diag.pressure_iters) == \
             int(out[False].state.diag.pressure_iters)

@@ -958,6 +958,140 @@ class _PcisphPredict(_Emit):
         return home, mirr
 
 
+class _IisphAdv(_Emit):
+    """IISPH advection coefficients (twin of the adv_fn scan in
+    solvers/iisph.py; reference iisph.py:276-316).  Channels:
+    [dii_x, dii_y, dii_z, adv, dji]; fields: [xp, vol, vel3]."""
+
+    n_out = 5
+
+    def __call__(self, ctx: PairCtx):
+        gs = ctx.gs()
+        vj = ctx.nbr(1)
+        dv_dot = sum((ctx.home(2, c) - ctx.nbr(2, c)) * ctx.r[c]
+                     for c in range(3))
+        out = [-jnp.sum(vj * gs * ctx.r[c], axis=1) for c in range(3)]
+        out.append(jnp.sum(vj * gs * dv_dot, axis=1))
+        out.append(jnp.sum(vj * gs * gs * ctx.d2, axis=1))
+        return out
+
+    def sym(self, ctx: PairCtx):
+        gs = ctx.gs()
+        vj = ctx.nbr(1)
+        vh = ctx.home(1)
+        dv_dot = sum((ctx.home(2, c) - ctx.nbr(2, c)) * ctx.r[c]
+                     for c in range(3))
+        home, mirr = [], []
+        for c in range(3):
+            f = gs * ctx.r[c]
+            home.append(-jnp.sum(vj * f, axis=1))
+            mirr.append(jnp.sum(vh * f, axis=0))
+        f2 = gs * dv_dot
+        home.append(jnp.sum(vj * f2, axis=1))
+        mirr.append(jnp.sum(vh * f2, axis=0))
+        f3 = gs * gs * ctx.d2
+        home.append(jnp.sum(vj * f3, axis=1))
+        mirr.append(jnp.sum(vh * f3, axis=0))
+        return home, mirr
+
+
+class _IisphAii(_Emit):
+    """a_ii part 1: sum_j V_j gs (d_ii_i - d_ii_j).r (aii_fn scan twin).
+    The pair factor double-flips under i<->j like the divergence op.
+    Channels: [aii]; fields: [xp, vol, dii3]."""
+
+    n_out = 1
+
+    def _f(self, ctx: PairCtx):
+        return ctx.gs() * sum((ctx.home(2, c) - ctx.nbr(2, c)) * ctx.r[c]
+                              for c in range(3))
+
+    def __call__(self, ctx: PairCtx):
+        return [jnp.sum(ctx.nbr(1) * self._f(ctx), axis=1)]
+
+    def sym(self, ctx: PairCtx):
+        f = self._f(ctx)
+        return ([jnp.sum(ctx.nbr(1) * f, axis=1)],
+                [jnp.sum(ctx.home(1) * f, axis=0)])
+
+
+class _IisphDij(_Emit):
+    """dij_pj = sum_j fac_j gs r with the per-slot source factor
+    fac = liq * (-V0 p / den^2) precomputed by the caller (dij_fn twin,
+    iisph.py:318-334).  Channels: [x, y, z]; fields: [xp, fac]."""
+
+    n_out = 3
+
+    def __call__(self, ctx: PairCtx):
+        fg = ctx.nbr(1) * ctx.gs()
+        return [jnp.sum(fg * ctx.r[c], axis=1) for c in range(3)]
+
+    def sym(self, ctx: PairCtx):
+        gs = ctx.gs()
+        fg_n = ctx.nbr(1) * gs
+        fg_h = ctx.home(1) * gs
+        home = [jnp.sum(fg_n * ctx.r[c], axis=1) for c in range(3)]
+        mirr = [-jnp.sum(fg_h * ctx.r[c], axis=0) for c in range(3)]
+        return home, mirr
+
+
+class _IisphS(_Emit):
+    """The s_i sweep of the relaxed Jacobi iteration (s_fn twin,
+    iisph.py:336-370): mixed one-sided terms, so this op stays full-window
+    (no sym form).  Channels: [s]; fields: [xp, dii3, dij3, p_liq, g,
+    liq, sol] with p_liq = liq*p and g = V0 p / den^2 precomputed."""
+
+    n_out = 1
+
+    def __call__(self, ctx: PairCtx):
+        cfg = self.cfg
+        gs = ctx.gs()
+        liq_j = ctx.nbr(5)
+        sol_j = ctx.nbr(6)
+        r = ctx.r
+        dij_dot_i = gs * sum(ctx.home(2, c) * r[c] for c in range(3))
+        dii_j_dot = gs * ctx.nbr(3) * sum(ctx.nbr(1, c) * r[c]
+                                          for c in range(3))
+        dij_j_dot = gs * sum(ctx.nbr(2, c) * r[c] for c in range(3))
+        dji_pi_dot = ctx.home(4) * gs * gs * ctx.d2
+        term_liq = cfg.liquid_volume * (dij_dot_i - dii_j_dot - dij_j_dot
+                                        + dji_pi_dot)
+        term_sol = cfg.solid_volume * dij_dot_i
+        return [jnp.sum(liq_j * term_liq + sol_j * term_sol, axis=1)]
+
+
+class _IisphForce(_Emit):
+    """IISPH pressure force (force_fn twin, iisph.py:372-396).  Channels:
+    [ax, ay, az]; fields: [xp, dpi, liq, sol] with dpi = p / den^2."""
+
+    n_out = 3
+
+    def _coeffs(self, ctx: PairCtx):
+        cfg = self.cfg
+        dpi_h = ctx.home(1)
+        dpi_n = ctx.nbr(1)
+        liq_h, liq_n = ctx.home(2), ctx.nbr(2)
+        sol_h, sol_n = ctx.home(3), ctx.nbr(3)
+        sym = cfg.liquid_volume * (dpi_h + dpi_n)
+        c_hn = liq_n * sym + sol_n * cfg.solid_volume * dpi_h
+        c_nh = liq_h * sym + sol_h * cfg.solid_volume * (liq_n * dpi_n)
+        return c_hn, c_nh
+
+    def __call__(self, ctx: PairCtx):
+        c_hn, _ = self._coeffs(ctx)
+        fg = c_hn * ctx.gs()
+        return [-jnp.sum(fg * ctx.r[c], axis=1) for c in range(3)]
+
+    def sym(self, ctx: PairCtx):
+        c_hn, c_nh = self._coeffs(ctx)
+        gs = ctx.gs()
+        fg_h = c_hn * gs
+        fg_n = c_nh * gs
+        home = [-jnp.sum(fg_h * ctx.r[c], axis=1) for c in range(3)]
+        mirr = [jnp.sum(fg_n * ctx.r[c], axis=0) for c in range(3)]
+        return home, mirr
+
+
 # ---------------------------------------------------------------------------
 # Engine front end
 # ---------------------------------------------------------------------------
@@ -1097,6 +1231,40 @@ class SweepEngine:
         """Twin of dense_ops.advected_density."""
         acc = self.div_accum(velp)
         return jnp.maximum(rhop / self.cfg.rest_density + dt * acc, 1.0)
+
+    def iisph_adv(self, velp):
+        """(d_ii_raw (3,C,NC), adv_acc, dji_acc) — twin of the adv_fn scan
+        in solvers/iisph.py."""
+        run = self._run_sym if SYM_SWEEPS else self._run
+        out = run(_IisphAdv, [self.xp_pad, self.vol_pad, self._pad3(velp)])
+        return out[0:3], out[3], out[4]
+
+    def iisph_aii(self, dii):
+        """a_ii part 1: sum_j V_j gs (d_ii_i - d_ii_j).r — aii_fn twin."""
+        run = self._run_sym if SYM_SWEEPS else self._run
+        out = run(_IisphAii, [self.xp_pad, self.vol_pad, self._pad3(dii)])
+        return out[0]
+
+    def iisph_dij(self, fac):
+        """dij_pj from the per-slot factor fac = liq * (-V0 p / den^2)."""
+        run = self._run_sym if SYM_SWEEPS else self._run
+        return run(_IisphDij, [self.xp_pad, self._pad1(fac)])
+
+    def iisph_s(self, dii, dij, p_liq, g):
+        """s_i sweep (full-window; its mixed one-sided terms have no shared
+        pair factor)."""
+        out = self._run(_IisphS,
+                        [self.xp_pad, self._pad3(dii), self._pad3(dij),
+                         self._pad1(p_liq), self._pad1(g),
+                         self.liq_pad, self.sol_pad])
+        return out[0]
+
+    def iisph_force(self, dpi):
+        """Pressure force from dpi = p / den^2 — force_fn twin."""
+        run = self._run_sym if SYM_SWEEPS else self._run
+        return run(_IisphForce,
+                   [self.xp_pad, self._pad1(dpi), self.liq_pad,
+                    self.sol_pad])
 
     def pcisph_predict(self, xstarp, pp):
         """(adv_acc_raw, pressure accel) at the predicted positions

@@ -152,6 +152,28 @@ class SlabEngine:
         adv, acc = self._e.pcisph_predict(c.lift(xstarp, 1e9), c.lift(pp))
         return c.lower(adv), c.lower(acc)
 
+    def iisph_adv(self, velp):
+        c = self._c
+        dii, adv, dji = self._e.iisph_adv(c.lift(velp))
+        return c.lower(dii), c.lower(adv), c.lower(dji)
+
+    def iisph_aii(self, dii):
+        c = self._c
+        return c.lower(self._e.iisph_aii(c.lift(dii)))
+
+    def iisph_dij(self, fac):
+        c = self._c
+        return c.lower(self._e.iisph_dij(c.lift(fac)))
+
+    def iisph_s(self, dii, dij, p_liq, g):
+        c = self._c
+        return c.lower(self._e.iisph_s(c.lift(dii), c.lift(dij),
+                                       c.lift(p_liq), c.lift(g)))
+
+    def iisph_force(self, dpi):
+        c = self._c
+        return c.lower(self._e.iisph_force(c.lift(dpi)))
+
     def visc_matvec(self, xv, rhop, dt):
         c = self._c
         return c.lower(self._e.visc_matvec(c.lift(xv), c.lift(rhop, 1.0),

@@ -54,8 +54,72 @@ class MidResult(NamedTuple):
     err: jnp.ndarray
 
 
+def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
+    """IISPH solve on the Mosaic sweep engine (all sweeps half-window except
+    the structurally one-sided s_i pass); same math as the XLA path below."""
+    rho0 = cfg.rest_density
+    v0 = cfg.liquid_volume
+    eng = comm.engine
+    liq = comm._liq
+
+    rhop, _, _ = eng.density_alpha(with_alpha=False)    # iisph.py:254-268
+
+    # --- implicit viscosity (engine PCG via solve_dense) ---
+    visc = viscosity.solve_dense(comm, velp, vgp, rhop, dt)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    d_vel = gvec + (visc.vel_new - velp) / dt
+    velp = velp + jnp.where(liq[None], d_vel * dt, 0.0)
+
+    # --- advection coefficients (iisph.py:276-316) ---
+    dii_raw, adv_acc, dji_acc = eng.iisph_adv(velp)
+    rho_safe = jnp.maximum(rhop, 1.0)
+    d_ii = dii_raw * ((rho0 / rho_safe) ** 2)[None]
+    adv_rho = rhop / rho0 + dt * adv_acc
+    den_i2 = (rho_safe / rho0) ** 2
+    a_ii = eng.iisph_aii(d_ii) - (v0 / den_i2) * dji_acc
+
+    p_init = 0.5 * pp                                   # warm start
+    n_liq = comm.n_liquid()
+
+    def body(carry):
+        _, p_pre, err, it = carry
+        fac = jnp.where(liq, -v0 * p_pre / den_i2, 0.0)
+        dij = eng.iisph_dij(fac)
+        p_liq = jnp.where(liq, p_pre, 0.0)
+        g = v0 * p_pre / den_i2
+        s = eng.iisph_s(d_ii, dij, p_liq, g)
+
+        b = 1.0 - adv_rho
+        h2 = dt * dt
+        denom = a_ii * h2
+        ok = jnp.abs(denom) > cfg.eps
+        p_new = jnp.maximum(
+            (1.0 - cfg.iisph_omega) * p_pre
+            + cfg.iisph_omega / jnp.where(ok, denom, 1.0) * (b - h2 * s), 0.0)
+        p_new = jnp.where(ok, p_new, 0.0)
+        resid = jnp.where(p_new != 0.0, (a_ii * p_new + s) * h2 - b, 0.0)
+        err = comm.lsum(resid) / n_liq
+        return p_pre, p_new, err, it + 1
+
+    def cond(carry):
+        *_, err, it = carry
+        return ((err > cfg.iisph_tol) | (it < cfg.iisph_min_iters)) \
+            & (it < cfg.iisph_max_iters)
+
+    _, pp, err, iters = jax.lax.while_loop(
+        cond, body, (p_init, p_init, jnp.float32(0.0), jnp.int32(0)))
+
+    # --- pressure force + integrate (iisph.py:372-396) ---
+    d_vel_p = eng.iisph_force(pp / den_i2)
+    velp = velp + jnp.where(liq[None], d_vel_p * dt, 0.0)
+    return MidResult(vel=velp, pressure=pp, delta_v=visc.delta_v,
+                     iters=iters, visc_iters=visc.iters, err=err)
+
+
 def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     """Whole IISPH solve in packed space; array args in OWNED layout."""
+    if comm.engine is not None:
+        return _step_middle_engine(comm, cfg, velp, vgp, pp, dt)
     rho0 = cfg.rest_density
     v0 = cfg.liquid_volume
 
@@ -241,7 +305,12 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
     grid = build_grid(state.pos, nl, cfg)
-    comm = NoComm(grid, cfg)
+    if cfg.use_pallas:
+        from ..pallas.engine import SweepEngine
+
+        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+    else:
+        comm = NoComm(grid, cfg)
 
     packed = pack_liquid_many(grid, [state.vel, state.vel_guess,
                                      state.pressure])
