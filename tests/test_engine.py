@@ -136,31 +136,210 @@ def test_sesph_force_matches():
            rtol=2e-4)
 
 
-@pytest.mark.parametrize("solver", ["sesph", "pcisph", "iisph"])
-def test_solver_step_engine_matches_xla(solver):
-    """Full engine-path steps for the newly engine-ized solvers must
-    reproduce the XLA-path trajectories."""
-    import dataclasses
+def test_tension_ops_match():
+    """Engine surface-normal + tension/adhesion sweeps vs the XLA twins,
+    with both the cohesion and the boundary-adhesion gates active."""
+    cfg0, grid, _, _, _ = _setup(jitter=0.003)
+    cfg = cfg0.replace(tension_coff=0.25, tension_coff_b=0.4,
+                       adhesion_center=(0.0, -0.2, 0.0), adhesion_radius=0.2)
+    eng = SweepEngine(grid, cfg, interpret=True)
+    liq = grid.liquid
+    rhop = dense_ops.density_stats(grid, cfg, with_alpha=False).rho
+    n1 = dense_ops.surface_normals(grid, cfg, rhop)
+    n2 = eng.surface_normals(rhop)
+    _close(jnp.where(liq[None], n1, 0), jnp.where(liq[None], n2, 0))
+    t1 = dense_ops.tension_accel(grid, cfg, rhop, n1)
+    t2 = eng.tension_accel(rhop, n2)
+    _close(jnp.where(liq[None], t1, 0), jnp.where(liq[None], t2, 0),
+           rtol=2e-4)
+    # non-vacuous: tension fires, and the adhesion gate covers some pairs
+    assert float(jnp.max(jnp.abs(jnp.where(liq[None], t2, 0)))) > 0.0
+    cfg_na = cfg.replace(tension_coff_b=0.0)
+    t3 = SweepEngine(grid, cfg_na, interpret=True).tension_accel(rhop, n2)
+    assert float(jnp.max(jnp.abs(jnp.where(liq[None], t2 - t3, 0)))) > 0.0
 
-    from wcsph_tpu.simulation import Simulation, default_config
+
+def _squeezed_dam_break(r=0.025, side=6, box_extent=0.7, squeeze=0.92):
+    """Dam break with the fluid block compressed toward its centroid so the
+    FIRST step already sees adv_rho > 1: the pressure solvers genuinely
+    iterate and produce nonzero pressures (a free-falling block keeps
+    pressure identically 0, which tests the pressure-solve kernels only
+    vacuously)."""
     from wcsph_tpu import dam_break as mk
 
+    sc = mk(particle_radius=r, fluid_dims=(side, side, side),
+            box_extent=box_extent)
+    liq = sc.positions[: sc.n_liquid]
+    centre = liq.mean(axis=0, keepdims=True)
+    sc.positions[: sc.n_liquid] = centre + (liq - centre) * squeeze
+    return sc
+
+
+@pytest.mark.parametrize("solver", ["sesph", "pcisph", "iisph"])
+def test_solver_step_engine_matches_xla(solver):
+    """Full engine-path steps for the engine-ized solvers must reproduce the
+    XLA-path trajectories ON A PRESSURIZED SCENE (compressed fluid: the
+    pressure solve does real work; asserted non-vacuous below)."""
+    from wcsph_tpu.simulation import Simulation, default_config
+
     r = 0.025
-    sc = mk(particle_radius=r, fluid_dims=(6, 6, 6), box_extent=0.7)
+    # squeeze ~0.9 is the sweet spot for an 8^3 block: predicted density
+    # peaks ~1.03-1.1 (surface deficit keeps smaller squeezes below 1.0),
+    # which forces real solver iterations without the chaotic blow-up a >8%
+    # compression causes under fixed dt (rounding then amplifies across
+    # iterations and the two paths legitimately diverge).  PCISPH needs the
+    # extra compression to leave its 3-iteration minimum within 1% tol.
+    sc = _squeezed_dam_break(r=r, side=8, box_extent=0.9,
+                             squeeze=0.90 if solver == "pcisph" else 0.92)
     lo, hi = sc.domain(pad=4 * r)
     out = {}
+    trace = {}
     for use_pallas in (False, True):
         cfg = default_config(solver, particle_radius=r, domain_min=lo,
                              domain_max=hi, use_pallas=use_pallas)
         sim = Simulation(sc, cfg, solver=solver)
-        sim.run(3)
+        iters, maxp = [], []
+        for _ in range(3):
+            sim.step()
+            iters.append(int(sim.state.diag.pressure_iters))
+            maxp.append(float(np.abs(np.asarray(sim.state.pressure)).max()))
         out[use_pallas] = sim
+        trace[use_pallas] = (iters, maxp)
     px = np.asarray(out[False].state.pos)
     pe = np.asarray(out[True].state.pos)
     np.testing.assert_allclose(pe, px, rtol=2e-4, atol=1e-6)
     vx = np.asarray(out[False].state.vel)
     ve = np.asarray(out[True].state.vel)
-    np.testing.assert_allclose(ve, vx, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(ve, vx, rtol=2e-3, atol=2e-4)
+    # the scene must exercise the pressure path for real (a free-falling
+    # block keeps pressure identically 0 — vacuous for the solve kernels)
+    assert max(trace[True][1]) > 0.0
     if solver in ("pcisph", "iisph"):
-        assert int(out[True].state.diag.pressure_iters) == \
-            int(out[False].state.diag.pressure_iters)
+        assert trace[True][0] == trace[False][0], trace
+        min_iters = (out[True].cfg.pcisph_min_iters if solver == "pcisph"
+                     else out[True].cfg.iisph_min_iters)
+        assert max(trace[True][0]) > min_iters, trace
+
+
+# ---------------------------------------------------------------------------
+# O(N^2) oracle for the IISPH pressure-solve ops — an INDEPENDENT
+# re-derivation of the pair sums (not the dense_ops twins), so a bug shared
+# with the twin cannot hide (this class of test caught the a_ii neighbor-term
+# bug in round 2's engine).
+# ---------------------------------------------------------------------------
+
+class _Oracle:
+    """Dense pairwise geometry over the occupied slots of a packed grid."""
+
+    def __init__(self, grid, cfg):
+        from wcsph_tpu import kernels
+
+        h = cfg.support_radius
+        self.cfg = cfg
+        self.idx = np.nonzero(np.asarray(grid.valid).ravel())[0]
+        self.liq = np.asarray(grid.liquid).ravel()[self.idx]
+        x = np.asarray(grid.xp.reshape(3, -1))[:, self.idx].T      # (n, 3)
+        self.r = x[:, None, :] - x[None, :, :]
+        self.d2 = (self.r ** 2).sum(-1)
+        n = len(self.idx)
+        self.mask = (self.d2 <= h * h) & ~np.eye(n, dtype=bool)
+        dist = np.sqrt(np.maximum(self.d2, 0.0))
+        self.gs = np.where(self.mask,
+                           np.asarray(kernels.cubic_grad_scale(dist, h)), 0.0)
+        self.vol = np.where(self.liq, cfg.liquid_volume, cfg.solid_volume)
+        self.shape = grid.pid.shape
+
+    def take(self, packed):
+        """Packed (k, C, NC)/(C, NC) -> (k, n)/(n,) over occupied slots."""
+        a = np.asarray(packed)
+        return a.reshape(a.shape[:-2] + (-1,))[..., self.idx]
+
+    def put(self, vals):
+        """(k, n)/(n,) -> packed with zeros elsewhere."""
+        lead = vals.shape[:-1]
+        out = np.zeros(lead + (self.shape[0] * self.shape[1],), np.float32)
+        out[..., self.idx] = vals
+        return out.reshape(lead + self.shape)
+
+    def dot_r(self, vec_i):
+        """(3, n) per-RECEIVER vector -> (n, n) (vec_i . r_ij)."""
+        return sum(vec_i[c][:, None] * self.r[:, :, c] for c in range(3))
+
+    def dot_r_j(self, vec_j):
+        """(3, n) per-SOURCE vector -> (n, n) (vec_j . r_ij)."""
+        return sum(vec_j[c][None, :] * self.r[:, :, c] for c in range(3))
+
+
+def test_iisph_ops_match_oracle():
+    cfg, grid, eng, velp, kp = _setup(jitter=0.003)
+    rng = np.random.RandomState(7)
+    o = _Oracle(grid, cfg)
+    liq = grid.liquid
+    shp = grid.pid.shape
+    v0, vs = cfg.liquid_volume, cfg.solid_volume
+
+    def rand(k=None):
+        s = shp if k is None else (k,) + shp
+        return jnp.asarray(rng.randn(*s).astype(np.float32))
+
+    # --- aii: sum_j V_j gs (d_ii_i . r) — receiver's own d_ii ONLY ---
+    dii = rand(3)
+    aii_e = eng.iisph_aii(dii)
+    aii_o = ((o.vol[None, :] * o.gs * o.dot_r(o.take(dii))).sum(1))
+    _close(jnp.where(liq, aii_e, 0), o.put(aii_o) * np.asarray(liq))
+
+    # --- dij: sum_j fac_j gs r ---
+    fac = rand()
+    dij_e = eng.iisph_dij(fac)
+    fg = o.take(fac)[None, :] * o.gs
+    dij_o = np.stack([(fg * o.r[:, :, c]).sum(1) for c in range(3)])
+    _close(jnp.where(liq[None], dij_e, 0), o.put(dij_o) * np.asarray(liq))
+
+    # --- s: the mixed one-sided Jacobi sweep ---
+    dij3 = rand(3)
+    p_liq = jnp.where(liq, jnp.abs(rand()), 0.0)
+    g = jnp.abs(rand())
+    s_e = eng.iisph_s(dii, dij3, p_liq, g)
+    dij_i = o.dot_r(o.take(dij3)) * o.gs
+    dii_j = o.gs * o.take(p_liq)[None, :] * o.dot_r_j(o.take(dii))
+    dij_j = o.gs * o.dot_r_j(o.take(dij3))
+    dji_pi = o.take(g)[:, None] * o.gs * o.gs * o.d2
+    term_liq = v0 * (dij_i - dii_j - dij_j + dji_pi)
+    term_sol = vs * dij_i
+    s_o = (np.where(o.liq[None, :], term_liq,
+                    np.where(o.mask, term_sol, 0.0))
+           * o.mask).sum(1)
+    _close(jnp.where(liq, s_e, 0), o.put(s_o) * np.asarray(liq), rtol=1e-4)
+
+    # --- force: -sum_j c_hn gs r ---
+    dpi = jnp.where(liq, jnp.abs(rand()), 0.0)
+    f_e = eng.iisph_force(dpi)
+    dpi_o = o.take(dpi)
+    sym = v0 * (dpi_o[:, None] + dpi_o[None, :])
+    c_hn = np.where(o.liq[None, :], sym, vs * dpi_o[:, None]) * o.gs
+    f_o = np.stack([-(c_hn * o.r[:, :, c]).sum(1) for c in range(3)])
+    _close(jnp.where(liq[None], f_e, 0), o.put(f_o) * np.asarray(liq))
+
+
+def test_iisph_aii_sign_pressurized():
+    """On a real compressed-fluid first step, a_ii must be negative at
+    interior liquid slots (the Jacobi denominator; a wrong-diagonal engine
+    produced values off by ~2.7x here)."""
+    from wcsph_tpu.solvers import iisph as ii
+
+    r = 0.025
+    sc = _squeezed_dam_break(r=r, side=8, box_extent=0.9, squeeze=0.85)
+    lo, hi = sc.domain(pad=4 * r)
+    cfg = ii.default_config(particle_radius=r, domain_min=lo, domain_max=hi)
+    grid = build_grid(jnp.asarray(sc.positions.T), sc.n_liquid, cfg)
+    eng = SweepEngine(grid, cfg, interpret=True)
+    rho0 = cfg.rest_density
+    rhop, _, _ = eng.density_alpha(with_alpha=False)
+    velp = jnp.zeros((3,) + grid.pid.shape, jnp.float32)
+    dii_raw, adv_acc, dji_acc = eng.iisph_adv(velp)
+    d_ii = dii_raw * ((rho0 / rhop) ** 2)[None]
+    den_i2 = (rhop / rho0) ** 2
+    a_ii = eng.iisph_aii(d_ii) - (cfg.liquid_volume / den_i2) * dji_acc
+    interior = np.asarray(grid.liquid) & (np.asarray(rhop) > 1.05 * rho0)
+    assert interior.any()
+    assert float(jnp.max(jnp.where(interior, a_ii, -1.0))) < 0.0

@@ -996,23 +996,26 @@ class _IisphAdv(_Emit):
 
 
 class _IisphAii(_Emit):
-    """a_ii part 1: sum_j V_j gs (d_ii_i - d_ii_j).r (aii_fn scan twin).
-    The pair factor double-flips under i<->j like the divergence op.
-    Channels: [aii]; fields: [xp, vol, dii3]."""
+    """a_ii part 1: sum_j V_j gs (d_ii_i . r) — aii_fn scan twin.  Only the
+    RECEIVER's own d_ii enters (reference iisph.py:314-315 adds
+    VL0 * (d_ii[i] - d_ji).dot(gradV) with d_ji built from i's density; the
+    d_ji part is the separate dji channel of _IisphAdv).  Channels: [aii];
+    fields: [xp, vol, dii3]."""
 
     n_out = 1
 
-    def _f(self, ctx: PairCtx):
-        return ctx.gs() * sum((ctx.home(2, c) - ctx.nbr(2, c)) * ctx.r[c]
-                              for c in range(3))
-
     def __call__(self, ctx: PairCtx):
-        return [jnp.sum(ctx.nbr(1) * self._f(ctx), axis=1)]
+        f = ctx.gs() * sum(ctx.home(2, c) * ctx.r[c] for c in range(3))
+        return [jnp.sum(ctx.nbr(1) * f, axis=1)]
 
     def sym(self, ctx: PairCtx):
-        f = self._f(ctx)
-        return ([jnp.sum(ctx.nbr(1) * f, axis=1)],
-                [jnp.sum(ctx.home(1) * f, axis=0)])
+        """Dual-sided: each receiver dots its OWN d_ii with the pair vector
+        seen from its side (r flips for the mirror receiver)."""
+        gs = ctx.gs()
+        dot_h = sum(ctx.home(2, c) * ctx.r[c] for c in range(3))
+        dot_n = sum(ctx.nbr(2, c) * ctx.r[c] for c in range(3))
+        return ([jnp.sum(ctx.nbr(1) * gs * dot_h, axis=1)],
+                [-jnp.sum(ctx.home(1) * gs * dot_n, axis=0)])
 
 
 class _IisphDij(_Emit):
@@ -1089,6 +1092,102 @@ class _IisphForce(_Emit):
         fg_n = c_nh * gs
         home = [-jnp.sum(fg_h * ctx.r[c], axis=1) for c in range(3)]
         mirr = [jnp.sum(fg_n * ctx.r[c], axis=0) for c in range(3)]
+        return home, mirr
+
+
+class _SurfaceNormals(_Emit):
+    """Surface normal sums n_i = sum_j liq_j (m/rho_j) gs r (twin of
+    dense_ops.surface_normals; reference dfsph.py:266-279 — the caller
+    scales by h).  Channels: [nx, ny, nz]; fields: [xp, rho_inv_liq] with
+    rho_inv_liq = liq / max(rho, 1) precomputed."""
+
+    n_out = 3
+
+    def __call__(self, ctx: PairCtx):
+        cfac = self.cfg.liquid_mass * ctx.nbr(1) * ctx.gs()
+        return [jnp.sum(cfac * ctx.r[c], axis=1) for c in range(3)]
+
+    def sym(self, ctx: PairCtx):
+        gs = ctx.gs()
+        c_hn = self.cfg.liquid_mass * ctx.nbr(1) * gs
+        c_nh = self.cfg.liquid_mass * ctx.home(1) * gs
+        home = [jnp.sum(c_hn * ctx.r[c], axis=1) for c in range(3)]
+        mirr = [-jnp.sum(c_nh * ctx.r[c], axis=0) for c in range(3)]
+        return home, mirr
+
+
+class _TensionAccel(_Emit):
+    """Akinci cohesion + curvature + boundary adhesion in one sweep (twin of
+    dense_ops.tension_accel; reference dfsph.py:265-305).  Channels:
+    [ax, ay, az]; fields: [xp, rho, n3, liq, sol]."""
+
+    n_out = 3
+
+    def _shared(self, ctx: PairCtx):
+        cfg = self.cfg
+        h = self.h
+        dist = ctx.dist()
+        inv_dist = ctx.rinv()
+        k_ij = 2.0 * cfg.rest_density / jnp.maximum(
+            ctx.home(1) + ctx.nbr(1), 1.0)
+        pair_ok = ctx.mask & (ctx.d2 > cfg.eps)
+        # cohesion spline (kernels.cohesion_w_scalar, inlined for Mosaic;
+        # note the -h^6/64 inner offset sits OUTSIDE the k factor)
+        m_k = 32.0 / (math.pi * h ** 9)
+        hr3 = (h - dist) ** 3 * dist ** 3
+        w_coh = jnp.where(ctx.mask,
+                          jnp.where(dist > 0.5 * h, m_k * hr3,
+                                    m_k * 2.0 * hr3 - (h ** 6) / 64.0),
+                          0.0)
+        # adhesion spline (kernels.adhesion_w_scalar)
+        arg = jnp.maximum(-4.0 * ctx.d2 / h + 6.0 * dist - 2.0 * h, 0.0)
+        w_adh = jnp.where(ctx.mask & (dist > 0.5 * h),
+                          0.007 / h ** 3.25 * jnp.sqrt(jnp.sqrt(arg)), 0.0)
+        return dist, inv_dist, k_ij, pair_ok, w_coh, w_adh
+
+    def _adh_gate(self, ctx, side, pair_ok):
+        """Boundary-adhesion region gate for the SOURCE of one side."""
+        cfg = self.cfg
+        centre = cfg.adhesion_center
+        get = ctx.nbr if side == "home" else ctx.home
+        sol_s = get(4)
+        d_c = sum((get(0, c) - centre[c]) ** 2 for c in range(3))
+        return jnp.where(pair_ok & (d_c < cfg.adhesion_radius ** 2),
+                         sol_s, 0.0)
+
+    def _side(self, ctx, side, shared):
+        """(radial coefficient, curvature gate) for one receiver."""
+        cfg = self.cfg
+        dist, inv_dist, k_ij, pair_ok, w_coh, w_adh = shared
+        liq_s = ctx.nbr(3) if side == "home" else ctx.home(3)
+        gate = jnp.where(pair_ok, liq_s * k_ij, 0.0)
+        coh = -cfg.tension_coff * cfg.liquid_mass * w_coh * inv_dist * gate
+        adh = (-cfg.tension_coff_b * cfg.rest_density * cfg.solid_volume
+               * w_adh * inv_dist) * self._adh_gate(ctx, side, pair_ok)
+        return coh + adh, gate
+
+    def __call__(self, ctx: PairCtx):
+        cfg = self.cfg
+        shared = self._shared(ctx)
+        c_rad, gate = self._side(ctx, "home", shared)
+        out = []
+        for c in range(3):
+            curv = gate * -cfg.tension_coff * (ctx.home(2, c) - ctx.nbr(2, c))
+            out.append(jnp.sum(c_rad * ctx.r[c] + curv, axis=1))
+        return out
+
+    def sym(self, ctx: PairCtx):
+        cfg = self.cfg
+        shared = self._shared(ctx)
+        c_hn, gate_h = self._side(ctx, "home", shared)
+        c_nh, gate_n = self._side(ctx, "mirror", shared)
+        home, mirr = [], []
+        for c in range(3):
+            dn = ctx.home(2, c) - ctx.nbr(2, c)
+            home.append(jnp.sum(
+                c_hn * ctx.r[c] + gate_h * -cfg.tension_coff * dn, axis=1))
+            mirr.append(jnp.sum(
+                -c_nh * ctx.r[c] + gate_n * cfg.tension_coff * dn, axis=0))
         return home, mirr
 
 
@@ -1288,6 +1387,25 @@ class SweepEngine:
                    [self.xp_pad, self._pad3(velp), self._pad1(rinv, 1.0),
                     self._pad1(rr, 1.0), self._pad1(pi), self._pad1(pp),
                     self.liq_pad, self.sol_pad])
+
+    def surface_normals(self, rhop):
+        """h * sum_j liq_j (m/rho_j) gs r — twin of dense_ops.surface_normals
+        (reference dfsph.py:266-279)."""
+        ril = jnp.where(self.grid.liquid,
+                        1.0 / jnp.maximum(rhop, 1.0), 0.0)
+        run = self._run_sym if SYM_SWEEPS else self._run
+        out = run(_SurfaceNormals, [self.xp_pad, self._pad1(ril)])
+        return self.cfg.support_radius * out
+
+    def tension_accel(self, rhop, normalp):
+        """Cohesion + curvature + boundary adhesion acceleration — twin of
+        dense_ops.tension_accel (reference dfsph.py:282-305).  ``fine``
+        chunks: the dual-sided body keeps ~12 pair temporaries live."""
+        run = (partial(self._run_sym, fine=True) if SYM_SWEEPS
+               else self._run)
+        return run(_TensionAccel,
+                   [self.xp_pad, self._pad1(rhop, 1.0),
+                    self._pad3(normalp), self.liq_pad, self.sol_pad])
 
     def visc_matvec(self, xv, rhop, dt):
         run = self._run_sym if SYM_SWEEPS else self._run

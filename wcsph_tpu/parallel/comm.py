@@ -28,7 +28,8 @@ class NoComm:
 
     ``engine`` (optional) is a pallas SweepEngine; when set, solvers route
     their hot window sweeps through it instead of the XLA dense_ops path.
-    Engine sweeps are single-device (SlabComm keeps engine=None)."""
+    Slab-sharded runs wrap their local engine in a SlabEngine adapter (see
+    below) so the same solver code drives it through SlabComm."""
 
     def __init__(self, grid, cfg, engine=None):
         self.grid = grid
@@ -173,6 +174,15 @@ class SlabEngine:
     def iisph_force(self, dpi):
         c = self._c
         return c.lower(self._e.iisph_force(c.lift(dpi)))
+
+    def surface_normals(self, rhop):
+        c = self._c
+        return c.lower(self._e.surface_normals(c.lift(rhop, 1.0)))
+
+    def tension_accel(self, rhop, normalp):
+        c = self._c
+        return c.lower(self._e.tension_accel(c.lift(rhop, 1.0),
+                                             c.lift(normalp)))
 
     def visc_matvec(self, xv, rhop, dt):
         c = self._c

@@ -93,10 +93,11 @@ class Simulation:
         vals = jax.device_get((self.state.time, self.state.dt,
                                d.divergence_iters, d.pressure_iters,
                                d.viscosity_iters, d.density_error,
+                               d.density_error_pre,
                                d.neighbor_overflow, d.vel_max))
         keys = ("time", "dt", "divergence_iters", "pressure_iters",
-                "viscosity_iters", "density_error", "neighbor_overflow",
-                "vel_max")
+                "viscosity_iters", "density_error", "density_error_pre",
+                "neighbor_overflow", "vel_max")
         out = dict(zip(keys, (v.item() for v in map(np.asarray, vals))))
         return out
 

@@ -54,6 +54,7 @@ class _SolveResult(NamedTuple):
     kappa: jnp.ndarray    # packed (C, NC_local)
     iters: jnp.ndarray
     err: jnp.ndarray
+    err_pre: jnp.ndarray  # density violation BEFORE the first correction
 
 
 def divergence_solve(comm, velp, kvp, alphap, cntp, dt,
@@ -107,10 +108,12 @@ def divergence_solve(comm, velp, kvp, alphap, cntp, dt,
         *_, err, it = carry
         return (it == 0) | ((err > threshold) & (it < cfg.dfsph_div_max_iters))
 
+    err_pre = comm.lsum(drho)
     velp, kvp, drho, err, iters = jax.lax.while_loop(
         cond, body, (velp, kvp, drho, jnp.float32(0.0), jnp.int32(0)))
     # end_divergence_iter (dfsph.py:479-485): kappa_v stored scaled by dt
-    return _SolveResult(vel=velp, kappa=kvp * dt, iters=iters, err=err)
+    return _SolveResult(vel=velp, kappa=kvp * dt, iters=iters, err=err,
+                        err_pre=err_pre)
 
 
 def pressure_solve(comm, velp, kp, alphap, rhop, dt) -> _SolveResult:
@@ -163,10 +166,12 @@ def pressure_solve(comm, velp, kp, alphap, rhop, dt) -> _SolveResult:
         return ((err > cfg.dfsph_tol) | (it < cfg.dfsph_min_iters)) \
             & (it < cfg.dfsph_max_iters)
 
+    err_pre = comm.lsum(adv - 1.0) / n_liq
     velp, kp, adv, err, iters = jax.lax.while_loop(
         cond, body, (velp, kp, adv, jnp.float32(0.0), jnp.int32(0)))
     # end_pressure_iter (dfsph.py:549-552): kappa stored scaled by dt^2
-    return _SolveResult(vel=velp, kappa=kp * dt * dt, iters=iters, err=err)
+    return _SolveResult(vel=velp, kappa=kp * dt * dt, iters=iters, err=err,
+                        err_pre=err_pre)
 
 
 class MidResult(NamedTuple):
@@ -182,6 +187,7 @@ class MidResult(NamedTuple):
     pr_iters: jnp.ndarray
     visc_iters: jnp.ndarray
     err: jnp.ndarray
+    err_pre: jnp.ndarray
     vmax_sq: jnp.ndarray
 
 
@@ -218,11 +224,17 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
     gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
     d_vel = jnp.where(liq3, jnp.broadcast_to(gvec, velp.shape), 0.0)
     if cfg.tension_coff != 0.0 or cfg.tension_coff_b != 0.0:
-        rho_l = comm.lift(rhop, 1.0)
-        normalp = comm.lower(dense_ops.surface_normals(comm.grid, comm.cfg,
-                                                       rho_l))
-        d_vel = d_vel + jnp.where(liq3, comm.lower(dense_ops.tension_accel(
-            comm.grid, comm.cfg, rho_l, comm.lift(normalp))), 0.0)
+        if comm.engine is not None:
+            normalp = comm.engine.surface_normals(rhop)
+            d_vel = d_vel + jnp.where(
+                liq3, comm.engine.tension_accel(rhop, normalp), 0.0)
+        else:
+            rho_l = comm.lift(rhop, 1.0)
+            normalp = comm.lower(dense_ops.surface_normals(
+                comm.grid, comm.cfg, rho_l))
+            d_vel = d_vel + jnp.where(liq3, comm.lower(
+                dense_ops.tension_accel(comm.grid, comm.cfg, rho_l,
+                                        comm.lift(normalp))), 0.0)
     visc = viscosity.solve_dense(comm, velp, vgp, rhop, dt)
     d_vel = d_vel + (visc.vel_new - velp) / dt          # end_viscosity
     if cfg.enable_vorticity:
@@ -256,7 +268,8 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
     return MidResult(vel=pr.vel, omega=omegap, vel_guess=visc.delta_v,
                      kappa=pr.kappa, kappa_v=div.kappa, new_dt=new_dt,
                      div_iters=div.iters, pr_iters=pr.iters,
-                     visc_iters=visc.iters, err=pr.err, vmax_sq=vmax_sq)
+                     visc_iters=visc.iters, err=pr.err, err_pre=pr.err_pre,
+                     vmax_sq=vmax_sq)
 
 
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
@@ -287,6 +300,7 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
         pressure_iters=mid.pr_iters,
         viscosity_iters=mid.visc_iters,
         density_error=mid.err,
+        density_error_pre=mid.err_pre,
         neighbor_overflow=grid.overflow,
         vel_max=jnp.sqrt(mid.vmax_sq),
     )

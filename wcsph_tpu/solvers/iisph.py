@@ -52,6 +52,7 @@ class MidResult(NamedTuple):
     iters: jnp.ndarray
     visc_iters: jnp.ndarray
     err: jnp.ndarray
+    err_pre: jnp.ndarray      # advected-density violation before the solve
 
 
 def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
@@ -71,15 +72,17 @@ def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     velp = velp + jnp.where(liq[None], d_vel * dt, 0.0)
 
     # --- advection coefficients (iisph.py:276-316) ---
+    # NOTE raw rho (no clamp), bit-matching the XLA twin below: rho is
+    # bounded away from 0 by the self term rho0 * V0 * W(0).
     dii_raw, adv_acc, dji_acc = eng.iisph_adv(velp)
-    rho_safe = jnp.maximum(rhop, 1.0)
-    d_ii = dii_raw * ((rho0 / rho_safe) ** 2)[None]
+    d_ii = dii_raw * ((rho0 / rhop) ** 2)[None]
     adv_rho = rhop / rho0 + dt * adv_acc
-    den_i2 = (rho_safe / rho0) ** 2
+    den_i2 = (rhop / rho0) ** 2
     a_ii = eng.iisph_aii(d_ii) - (v0 / den_i2) * dji_acc
 
     p_init = 0.5 * pp                                   # warm start
     n_liq = comm.n_liquid()
+    err_pre = comm.lsum(jnp.maximum(adv_rho - 1.0, 0.0)) / n_liq
 
     def body(carry):
         _, p_pre, err, it = carry
@@ -113,7 +116,8 @@ def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     d_vel_p = eng.iisph_force(pp / den_i2)
     velp = velp + jnp.where(liq[None], d_vel_p * dt, 0.0)
     return MidResult(vel=velp, pressure=pp, delta_v=visc.delta_v,
-                     iters=iters, visc_iters=visc.iters, err=err)
+                     iters=iters, visc_iters=visc.iters, err=err,
+                     err_pre=err_pre)
 
 
 def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
@@ -190,6 +194,7 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
 
     p_init = 0.5 * pp                                   # warm start iisph.py:292
     n_liq = comm.n_liquid()
+    err_pre = comm.lsum(jnp.maximum(adv_rho - 1.0, 0.0)) / n_liq
     d_ii_pad = loop.pad(d_ii_l, 0.0)
     rho_pad = loop.pad(rhop_l, 1.0)
     den_i2_l = (rhop_l / rho0) ** 2
@@ -298,7 +303,8 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     d_vel_p = comm.lower(loop.scan_sym(force_fn, dense_ops._zeros(g_l, 3)))
     velp = velp + jnp.where(comm._liq[None], d_vel_p * dt, 0.0)
     return MidResult(vel=velp, pressure=pp, delta_v=visc.delta_v,
-                     iters=iters, visc_iters=visc.iters, err=err)
+                     iters=iters, visc_iters=visc.iters, err=err,
+                     err_pre=err_pre)
 
 
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
@@ -325,6 +331,7 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
         pressure_iters=mid.iters,
         viscosity_iters=mid.visc_iters,
         density_error=mid.err,
+        density_error_pre=mid.err_pre,
         neighbor_overflow=grid.overflow,
         vel_max=jnp.sqrt(jnp.maximum(
             dense_ops.liquid_max(grid, jnp.sum(mid.vel * mid.vel, axis=0)),
