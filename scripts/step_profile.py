@@ -51,22 +51,27 @@ def make_prefix(depth: int):
         grid = build_grid(state.pos, nl, cfg)
         if depth == 0:
             return grid.xp
-        velp = pack_liquid(grid, state.vel)
-        omegap = pack_liquid(grid, state.omega)
-        vgp = pack_liquid(grid, state.vel_guess)
-        kp = pack_liquid(grid, state.kappa)
-        kvp = pack_liquid(grid, state.kappa_v)
+        from wcsph_tpu.grid import pack_liquid_many
+        packed = pack_liquid_many(grid, [state.vel, state.omega,
+                                         state.vel_guess, state.kappa,
+                                         state.kappa_v])
         if depth == 1:
-            return velp, omegap, vgp, kp, kvp
+            return packed
+        eng = None
         if cfg.use_pallas:
-            from wcsph_tpu.pallas.engine import SweepEngine
-            comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+            from wcsph_tpu.pallas.engine import PaddedEngine, SweepEngine
+            from wcsph_tpu.parallel.comm import PaddedNoComm
+            eng = PaddedEngine(SweepEngine(grid, cfg))
+            comm = PaddedNoComm(grid, cfg, engine=eng)
+            packed = [eng.pad_state(x) for x in packed]
         else:
             comm = NoComm(grid, cfg)
-        if depth == 2 and comm.engine is not None:
-            e = comm.engine
-            return (e.xp_pad, e.vol_pad, e.liq_pad, e.sol_pad, e.act_any,
-                    e.nz_any)
+        velp, omegap, vgp, kp, kvp = packed
+        if depth == 2:
+            if eng is None:
+                return packed
+            return (eng.xp_pad, eng.vol_pad, eng.liq_pad, eng.sol_pad,
+                    eng.act_any, eng.nz_any) + tuple(packed)
         dt = state.dt
         if comm.engine is not None:
             rhop, alphap, cntp = comm.engine.density_alpha()
@@ -81,7 +86,8 @@ def make_prefix(depth: int):
         velp2 = div.vel
         if depth == 4:
             return velp2, div.kappa, div.iters
-        gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+        gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(
+            (3,) + (1,) * (velp2.ndim - 1))
         d_vel = jnp.broadcast_to(gvec, velp2.shape)
         visc = viscosity.solve_dense(comm, velp2, vgp, rhop, dt)
         d_vel = d_vel + (visc.vel_new - velp2) / dt
@@ -110,16 +116,20 @@ def make_prefix(depth: int):
         pr = dfsph.pressure_solve(comm, velp3, kp, alphap, rhop, new_dt)
         if depth == 7:
             return pr.vel, pr.kappa, pr.iters
-        vel = unpack_liquid(grid, pr.vel, state.vel)
-        pos = state.pos.at[:, :nl].add(vel * new_dt)
-        return (pos, vel, unpack_liquid(grid, omegap, state.omega),
-                unpack_liquid(grid, visc.delta_v, state.vel_guess),
-                unpack_liquid(grid, pr.kappa, state.kappa),
-                unpack_liquid(grid, div.kappa, state.kappa_v))
+        mids = [pr.vel, omegap, visc.delta_v, pr.kappa, div.kappa]
+        prevs = [state.vel, state.omega, state.vel_guess, state.kappa,
+                 state.kappa_v]
+        if eng is not None:
+            outs = eng.unpack_many(mids, prevs)
+        else:
+            from wcsph_tpu.grid import unpack_liquid_many
+            outs = unpack_liquid_many(grid, mids, prevs)
+        pos = state.pos.at[:, :nl].add(outs[0] * new_dt)
+        return (pos,) + tuple(outs)
     return fn
 
 
-NAMES = ["build_grid", "+pack x5", "+engine pads/masks", "+density_alpha",
+NAMES = ["build_grid", "+pack x5", "+pad state/masks", "+density_alpha",
          "+divergence_solve", "+viscosity", "+vorticity", "+pressure_solve",
          "+unpack/update (full)"]
 

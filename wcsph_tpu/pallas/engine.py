@@ -125,10 +125,20 @@ def _pad_field(plan: _Plan, a: jnp.ndarray, fill) -> jnp.ndarray:
 
 
 def _unpad_out(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
-    """(gx, NOUT, C, nq*Q) -> (NOUT, C, NC)."""
-    nout = out.shape[1]
-    o = jnp.moveaxis(out, 0, 2)                      # (NOUT, C, gx, nq*Q)
-    return o[..., :plan.P].reshape(nout, plan.C, plan.gx * plan.P)
+    """(NOUT, gx, C, nq*Q) -> (NOUT, C, NC)."""
+    nout = out.shape[0]
+    o = jnp.moveaxis(out[..., :plan.P], 1, 2)        # (NOUT, C, gx, P)
+    return o.reshape(nout, plan.C, plan.gx * plan.P)
+
+
+def _pad_tot(plan: _Plan, tot: jnp.ndarray) -> jnp.ndarray:
+    """(NOUT, gx, C, nq*Q) plane-major sweep output -> padded-layout
+    (NOUT, NX, C, PP) with zero margins, NO transpose (the plane axis is
+    already where _pad_field puts it).  Slots beyond P hold provably-zero
+    sums (their home positions are the EMPTY_POS sentinel), so they can ride
+    along as interior."""
+    return jnp.pad(tot, [(0, 0), (1, 1), (0, 0),
+                         (_MARGIN, plan.PP - plan.nq * plan.Q - _MARGIN)])
 
 
 # ---------------------------------------------------------------------------
@@ -314,8 +324,8 @@ def _build_sweep(plan: _Plan, n_fields: int, field_comps, n_out: int,
                                 ctx = PairCtx(r=r, d2=d2, mask=mask,
                                               home=home, nbr=nbr, h=emit.h)
                                 for ch, val in enumerate(emit(ctx)):
-                                    cur = out_ref[0, ch, hs, :]
-                                    out_ref[0, ch, hs, :] = cur + val
+                                    cur = out_ref[ch, 0, hs, :]
+                                    out_ref[ch, 0, hs, :] = cur + val
                             return 0
 
                         jax.lax.fori_loop(0, NRB * NRB, rb_body, 0,
@@ -332,14 +342,14 @@ def _build_sweep(plan: _Plan, n_fields: int, field_comps, n_out: int,
         num_scalar_prefetch=2,
         grid=(plan.gx, nq),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_fields,
-        out_specs=pl.BlockSpec((1, n_out, C, Q),
-                               lambda px, q, *_: (px, 0, 0, q)),
+        out_specs=pl.BlockSpec((n_out, 1, C, Q),
+                               lambda px, q, *_: (0, px, 0, q)),
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.gx, n_out, C, nq * Q),
+        out_shape=jax.ShapeDtypeStruct((n_out, plan.gx, C, nq * Q),
                                        jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -484,15 +494,15 @@ def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
                                                   h=emit.h)
                                     hvals, mvals = emit.sym(ctx)
                                     for ch, val in enumerate(hvals):
-                                        cur = out_ref[0, 0, 0, ch, hs,
+                                        cur = out_ref[ch, 0, 0, 0, hs,
                                                       _MARGIN:_MARGIN + Q]
-                                        out_ref[0, 0, 0, ch, hs,
+                                        out_ref[ch, 0, 0, 0, hs,
                                                 _MARGIN:_MARGIN + Q] = cur + val
                                     if not is_zero:
                                         for ch, val in enumerate(mvals):
-                                            cur = out_ref[0, 0, dx, ch, ns,
+                                            cur = out_ref[ch, 0, 0, dx, ns,
                                                           lin:lin + Q]
-                                            out_ref[0, 0, dx, ch, ns,
+                                            out_ref[ch, 0, 0, dx, ns,
                                                     lin:lin + Q] = cur + val
                                 return 0
 
@@ -509,14 +519,14 @@ def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
         num_scalar_prefetch=2,
         grid=(plan.gx, nq),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_fields,
-        out_specs=pl.BlockSpec((1, 1, 2, n_out, C, Wq),
-                               lambda px, q, *_: (px, q, 0, 0, 0, 0)),
+        out_specs=pl.BlockSpec((n_out, 1, 1, 2, C, Wq),
+                               lambda px, q, *_: (0, px, q, 0, 0, 0)),
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.gx, nq, 2, n_out, C, Wq),
+        out_shape=jax.ShapeDtypeStruct((n_out, plan.gx, nq, 2, C, Wq),
                                        jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -524,35 +534,45 @@ def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
     )
 
 
-def _fold_sym(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
+def _fold_sym_tot(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
     """Overlap-add the half-window output: chunks within a plane overlap in
     their lane margins; row 1 carries contributions to the NEXT plane.
-    (gx, nq, 2, n_out, C, Wq) -> (n_out, C, NC).
+    (n_out, gx, nq, 2, C, Wq) -> plane-major (n_out, gx, C, nq*Q).
 
     Margins always land in NEIGHBOR-chunk interiors (M < Q), so the fold is
     pure slice/concat/add — .at[].add on static slices lowers to scatter-add
     on TPU (~8 ms per call at 1M), which this formulation avoids."""
-    gx, nq, _, nout, C, Wq = out.shape
-    Q, M, P = plan.Q, _MARGIN, plan.P
-    interior = out[..., M:M + Q]                 # (gx, nq, 2, nout, C, Q)
+    nout, gx, nq, _, C, Wq = out.shape
+    Q, M = plan.Q, _MARGIN
+    interior = out[..., M:M + Q]                 # (nout, gx, nq, 2, C, Q)
     lm = out[..., :M]                            # -> tail of chunk q-1
     rm = out[..., M + Q:]                        # -> head of chunk q+1
-    tail_add = jnp.concatenate([lm[:, 1:], jnp.zeros_like(lm[:, :1])],
-                               axis=1)
-    head_add = jnp.concatenate([jnp.zeros_like(rm[:, :1]), rm[:, :-1]],
-                               axis=1)
+    tail_add = jnp.concatenate([lm[:, :, 1:], jnp.zeros_like(lm[:, :, :1])],
+                               axis=2)
+    head_add = jnp.concatenate([jnp.zeros_like(rm[:, :, :1]), rm[:, :, :-1]],
+                               axis=2)
     # place the neighbor margins inside the Q-frame ([0,M) and [Q-M,Q));
     # M <= Q always, so a margin never spans more than one neighbor chunk
     zpad = [(0, 0)] * (out.ndim - 1)
     chunks = (interior
               + jnp.pad(head_add, zpad + [(0, Q - M)])
               + jnp.pad(tail_add, zpad + [(Q - M, 0)]))
-    per_plane = jnp.moveaxis(chunks, 1, -2).reshape(
-        gx, 2, nout, C, nq * Q)
-    own, nxt = per_plane[:, 0], per_plane[:, 1]
-    tot = own + jnp.concatenate([jnp.zeros_like(nxt[:1]), nxt[:-1]], axis=0)
-    interior_p = tot[..., :P]                    # (gx, nout, C, P)
-    return jnp.moveaxis(interior_p, 0, 2).reshape(nout, C, gx * P)
+    per_plane = jnp.moveaxis(chunks, 2, -2).reshape(
+        nout, gx, 2, C, nq * Q)
+    own, nxt = per_plane[:, :, 0], per_plane[:, :, 1]
+    return own + jnp.concatenate(
+        [jnp.zeros_like(nxt[:, :1]), nxt[:, :-1]], axis=1)
+
+
+def _fold_sym(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
+    """Half-window output -> packed (n_out, C, NC)."""
+    return _unpad_out(plan, _fold_sym_tot(plan, out))
+
+
+def _fold_sym_pad(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
+    """Half-window output -> padded-layout (n_out, NX, C, PP), transpose-free
+    (the padded-IO loop path; see PaddedEngine)."""
+    return _pad_tot(plan, _fold_sym_tot(plan, out))
 
 
 # ---------------------------------------------------------------------------
@@ -1218,6 +1238,9 @@ class SweepEngine:
         p = self.plan
 
         self.xp_pad = _pad_field(p, grid.xp, EMPTY_POS)
+        # mask in the same layout the op methods' in/outputs use ((C, NC)
+        # here; padded in PaddedEngine)
+        self.liq_mask = grid.liquid
         liq = grid.liquid.astype(jnp.float32)
         sol = (grid.valid & ~grid.liquid).astype(jnp.float32)
         vol = jnp.where(grid.liquid, cfg.liquid_volume,
@@ -1241,6 +1264,13 @@ class SweepEngine:
 
     # -- plumbing ---------------------------------------------------------
 
+    @property
+    def xp_owned(self):
+        """Packed positions in the layout the op methods speak (packed here,
+        padded in PaddedEngine) — for solvers that derive shifted positions
+        elementwise (PCISPH starred positions)."""
+        return self.grid.xp
+
     def _pad1(self, a, fill=0.0):
         """(C, NC) -> (1, C, NX, PP)."""
         return _pad_field(self.plan, a, fill)[None]
@@ -1248,6 +1278,10 @@ class SweepEngine:
     def _pad3(self, a, fill=0.0):
         """(3, C, NC) -> (3, C, NX, PP)."""
         return _pad_field(self.plan, a, fill)
+
+    # Overridden by PaddedEngine to keep results in the padded layout.
+    _finish = staticmethod(_unpad_out)
+    _finish_sym = staticmethod(_fold_sym)
 
     def _run(self, emit_cls, fields, liquid_gated=True):
         emit = emit_cls(self.cfg)
@@ -1258,7 +1292,7 @@ class SweepEngine:
         act = self.act_liq if liquid_gated else self.act_any
         nz = self.nz_liq if liquid_gated else self.nz_any
         out = call(nz, act, *fields)
-        return _unpad_out(p, out)
+        return self._finish(p, out)
 
     def _run_sym(self, emit_cls, fields, liquid_gated=True, fine=False):
         """Half-window variant: one evaluation per +-offset pair, dual-sided
@@ -1275,7 +1309,7 @@ class SweepEngine:
             out = call(self.nz_sym, self.act_sym, *fields)
         else:
             out = call(self.nz_sym_any, self.act_sym_any, *fields)
-        return _fold_sym(p, out)
+        return self._finish_sym(p, out)
 
     # -- ops --------------------------------------------------------------
 
@@ -1313,7 +1347,7 @@ class SweepEngine:
                else self._run(_KappaAcc, fields))
         # liquid-masked: boundary slots keep velocity 0 exactly (the
         # reference only loops i over liquid, dfsph.py:449-477)
-        return velp + jnp.where(self.grid.liquid[None], dt * acc, 0.0)
+        return velp + jnp.where(self.liq_mask[None], dt * acc, 0.0)
 
     def div_accum(self, velp):
         fields = [self.xp_pad, self.vol_pad, self._pad3(velp)]
@@ -1391,7 +1425,7 @@ class SweepEngine:
     def surface_normals(self, rhop):
         """h * sum_j liq_j (m/rho_j) gs r — twin of dense_ops.surface_normals
         (reference dfsph.py:266-279)."""
-        ril = jnp.where(self.grid.liquid,
+        ril = jnp.where(self.liq_mask,
                         1.0 / jnp.maximum(rhop, 1.0), 0.0)
         run = self._run_sym if SYM_SWEEPS else self._run
         out = run(_SurfaceNormals, [self.xp_pad, self._pad1(ril)])
@@ -1449,3 +1483,73 @@ class SweepEngine:
                + c_vo * c_in * inv_rho_i[None] * st
                + damp * omegap * countp.astype(jnp.float32)[None])
         return dv, omegap + dom * dt
+
+
+# ---------------------------------------------------------------------------
+# Padded-IO engine: solver loops composed entirely in the padded layout
+# ---------------------------------------------------------------------------
+
+class PaddedEngine(SweepEngine):
+    """SweepEngine whose op methods take and return dynamic fields in the
+    PADDED (…, NX, C, PP) layout, so chained ops — the divergence/pressure
+    while_loops, the viscosity PCG, the IISPH Jacobi iteration — compose with
+    ZERO per-call pad/fold-transpose glue (round-2 profile: ~90 ms of a
+    440 ms 1M step was exactly this re-padding).  The sweep kernels emit
+    plane-major output, so folding to the padded layout is a pure jnp.pad.
+
+    Entry: ``pad_state`` once after pack.  Exit: ``unpack_many`` gathers
+    per-particle values DIRECTLY from the padded buffers (no unpad copy).
+    All elementwise solver math broadcasts identically to the packed layout
+    ((k, C, NC) vs (k, NX, C, PP)), so the comm-parameterized solver middles
+    run unchanged under a PaddedNoComm."""
+
+    _finish = staticmethod(_pad_tot)
+    _finish_sym = staticmethod(_fold_sym_pad)
+
+    def __init__(self, base: SweepEngine):
+        self.__dict__.update(base.__dict__)
+        self.liq_mask = _pad_field(self.plan, self.grid.liquid, False)
+
+    @property
+    def xp_owned(self):
+        return self.xp_pad
+
+    def _pad1(self, a, fill=0.0):
+        """Input already padded: (NX, C, PP) -> (1, NX, C, PP)."""
+        return a[None]
+
+    def _pad3(self, a, fill=0.0):
+        return a
+
+    def pad_state(self, a, fill=0.0):
+        """Packed (C, NC)/(k, C, NC) -> padded (entry glue, once per step)."""
+        return _pad_field(self.plan, a, fill)
+
+    def unpack_many(self, packed, defaults):
+        """Per-liquid gather straight out of padded arrays (twin of
+        grid.unpack_liquid_many; the padded flat index is derived from
+        grid.slot, so the unpad copy is skipped entirely)."""
+        p = self.plan
+        nc = p.gx * p.P
+        slot = self.grid.slot
+        keep = slot >= 0
+        s = jnp.maximum(slot, 0)
+        rank = s // nc
+        cell = s - rank * nc
+        px = cell // p.P
+        pp = cell - px * p.P
+        idx = ((px + 1) * p.C + rank) * p.PP + (_MARGIN + pp)
+        parts, sizes = [], []
+        for xp in packed:
+            x2 = xp.reshape((1, -1) if xp.ndim == 3 else (xp.shape[0], -1))
+            parts.append(x2)
+            sizes.append(x2.shape[0])
+        stacked = jnp.concatenate(parts, axis=0)
+        got = stacked[:, idx]
+        out, o = [], 0
+        for xp, d, k in zip(packed, defaults, sizes):
+            sl = got[o:o + k]
+            out.append(jnp.where(keep, sl[0], d) if xp.ndim == 3
+                       else jnp.where(keep[None], sl, d))
+            o += k
+        return out

@@ -53,6 +53,18 @@ class NoComm:
         return jnp.sum(self._liq).astype(jnp.float32)
 
 
+class PaddedNoComm(NoComm):
+    """Single-device comm over the PADDED engine layout (pallas/engine.py
+    PaddedEngine): ``_liq`` is the padded mask, so the comm-parameterized
+    solver middles run bit-identical elementwise math on (…, NX, C, PP)
+    arrays and every reduction masks the margins away.  lift/lower stay
+    identity — the engine ops already consume/produce padded fields."""
+
+    def __init__(self, grid, cfg, engine):
+        super().__init__(grid, cfg, engine=engine)
+        self._liq = engine.liq_mask
+
+
 def exchange_halo(arr: jnp.ndarray, plane: int, fill, axis: str = AXIS):
     """Append one x-plane of halo (gy*gz cells) from each ring neighbor over
     the mesh axis.  arr: (..., NC_local) -> (..., NC_local + 2*plane)."""
@@ -119,6 +131,10 @@ class SlabEngine:
     def __init__(self, comm: "SlabComm", ext_engine):
         self._c = comm
         self._e = ext_engine
+
+    @property
+    def xp_owned(self):
+        return self._c.lower(self._e.grid.xp)
 
     def density_alpha(self, with_alpha: bool = True, velp=None):
         c = self._c

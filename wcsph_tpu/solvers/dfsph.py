@@ -221,7 +221,8 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
     # reference applies accelerations to i < liquid_count exclusively, so
     # boundary slots must keep d_vel = 0 (they feed (v_i - v_j) pair terms) ---
     liq3 = comm._liq[None]
-    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(
+        (3,) + (1,) * (velp.ndim - 1))
     d_vel = jnp.where(liq3, jnp.broadcast_to(gvec, velp.shape), 0.0)
     if cfg.tension_coff != 0.0 or cfg.tension_coff_b != 0.0:
         if comm.engine is not None:
@@ -275,24 +276,35 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     grid = build_grid(state.pos, nl, cfg)
+    eng = None
     if cfg.use_pallas:
-        from ..pallas.engine import SweepEngine
+        from ..pallas.engine import PaddedEngine, SweepEngine
+        from ..parallel.comm import PaddedNoComm
 
-        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+        # the whole middle runs in the padded engine layout: pad once after
+        # pack, unpack straight from the padded buffers at the end
+        eng = PaddedEngine(SweepEngine(grid, cfg))
+        comm = PaddedNoComm(grid, cfg, engine=eng)
     else:
         comm = NoComm(grid, cfg)
 
     packed = pack_liquid_many(grid, [state.vel, state.omega,
                                      state.vel_guess, state.kappa,
                                      state.kappa_v])
+    if eng is not None:
+        packed = [eng.pad_state(x) for x in packed]
     mid = step_middle(comm, cfg, *packed,
                       state.dt, state.last_pressure_iters)
 
     # --- unpack + position update (dropped/overflow particles keep state) ---
-    vel, omega, vel_guess, kappa, kappa_v = unpack_liquid_many(
-        grid, [mid.vel, mid.omega, mid.vel_guess, mid.kappa, mid.kappa_v],
-        [state.vel, state.omega, state.vel_guess, state.kappa,
-         state.kappa_v])
+    mids = [mid.vel, mid.omega, mid.vel_guess, mid.kappa, mid.kappa_v]
+    prevs = [state.vel, state.omega, state.vel_guess, state.kappa,
+             state.kappa_v]
+    if eng is not None:
+        vel, omega, vel_guess, kappa, kappa_v = eng.unpack_many(mids, prevs)
+    else:
+        vel, omega, vel_guess, kappa, kappa_v = unpack_liquid_many(
+            grid, mids, prevs)
     pos = state.pos.at[:, :nl].add(vel * mid.new_dt)    # update_pos
 
     diag = StepDiagnostics(

@@ -67,7 +67,8 @@ def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
 
     # --- implicit viscosity (engine PCG via solve_dense) ---
     visc = viscosity.solve_dense(comm, velp, vgp, rhop, dt)
-    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(
+        (3,) + (1,) * (velp.ndim - 1))
     d_vel = gvec + (visc.vel_new - velp) / dt
     velp = velp + jnp.where(liq[None], d_vel * dt, 0.0)
 
@@ -311,20 +312,28 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
     grid = build_grid(state.pos, nl, cfg)
+    eng = None
     if cfg.use_pallas:
-        from ..pallas.engine import SweepEngine
+        from ..pallas.engine import PaddedEngine, SweepEngine
+        from ..parallel.comm import PaddedNoComm
 
-        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+        eng = PaddedEngine(SweepEngine(grid, cfg))
+        comm = PaddedNoComm(grid, cfg, engine=eng)
     else:
         comm = NoComm(grid, cfg)
 
     packed = pack_liquid_many(grid, [state.vel, state.vel_guess,
                                      state.pressure])
+    if eng is not None:
+        packed = [eng.pad_state(x) for x in packed]
     mid = step_middle(comm, cfg, *packed, dt)
 
-    vel, pressure, vel_guess = unpack_liquid_many(
-        grid, [mid.vel, mid.pressure, mid.delta_v],
-        [state.vel, state.pressure, state.vel_guess])
+    mids = [mid.vel, mid.pressure, mid.delta_v]
+    prevs = [state.vel, state.pressure, state.vel_guess]
+    if eng is not None:
+        vel, pressure, vel_guess = eng.unpack_many(mids, prevs)
+    else:
+        vel, pressure, vel_guess = unpack_liquid_many(grid, mids, prevs)
     pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
@@ -334,8 +343,7 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
         density_error_pre=mid.err_pre,
         neighbor_overflow=grid.overflow,
         vel_max=jnp.sqrt(jnp.maximum(
-            dense_ops.liquid_max(grid, jnp.sum(mid.vel * mid.vel, axis=0)),
-            0.0)),
+            comm.lmax(jnp.sum(mid.vel * mid.vel, axis=0)), 0.0)),
     )
     return state.replace(pos=pos, vel=vel,
                          pressure=pressure,

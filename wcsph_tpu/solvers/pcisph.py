@@ -128,9 +128,10 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
     w0 = cfg.liquid_volume * kernels.cubic_w0(cfg.support_radius)
 
     # non-pressure forces + density (pcisph.py:199-218)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(
+        (3,) + (1,) * (velp.ndim - 1))
     if comm.engine is not None:
         rhop, _, _ = comm.engine.density_alpha(with_alpha=False)
-        gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
         # sesph_force with zero pressure is the pure explicit viscosity
         d_vel = gvec + comm.engine.sesph_force(velp, rhop,
                                                jnp.zeros_like(rhop))
@@ -138,7 +139,6 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
         stats = dense_ops.density_stats(grid, comm.cfg, with_alpha=False)
         rhop_l = comm.lift(comm.lower(stats.rho), 1.0)
         velp_l = comm.lift(velp)
-        gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
         d_vel = gvec + comm.lower(dense_ops.explicit_viscosity_accel(
             grid, comm.cfg, velp_l, rhop_l))
 
@@ -149,8 +149,9 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
         d_vel_pre, pp, err, err_pre, it = carry
         vel_star = velp + (d_vel + d_vel_pre) * dt      # pcisph.py:228-235
         if comm.engine is not None:
-            # engine sweeps at the PREDICTED positions (owned layout)
-            xstar_o = comm.lower(grid.xp) + jnp.where(
+            # engine sweeps at the PREDICTED positions (engine layout;
+            # xp_owned margins keep the EMPTY_POS sentinel under +0)
+            xstar_o = comm.engine.xp_owned + jnp.where(
                 comm._liq[None], vel_star * dt, 0.0)
             adv_raw, _ = comm.engine.pcisph_predict(xstar_o, pp)
             adv = jnp.maximum(w0 + adv_raw, 1.0)
@@ -195,17 +196,27 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     grid = build_grid(state.pos, nl, cfg)
     from ..parallel.comm import NoComm
 
+    eng = None
     if cfg.use_pallas:
-        from ..pallas.engine import SweepEngine
+        from ..pallas.engine import PaddedEngine, SweepEngine
+        from ..parallel.comm import PaddedNoComm
 
-        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+        eng = PaddedEngine(SweepEngine(grid, cfg))
+        comm = PaddedNoComm(grid, cfg, engine=eng)
     else:
         comm = NoComm(grid, cfg)
-    mid = step_middle(comm, cfg, pack_liquid(grid, state.vel), dt)
+    vp = pack_liquid(grid, state.vel)
+    if eng is not None:
+        vp = eng.pad_state(vp)
+    mid = step_middle(comm, cfg, vp, dt)
     pp, iters, err = mid.pressure, mid.iters, mid.err
     velp = mid.vel
-    vel, pressure = unpack_liquid_many(grid, [velp, pp],
-                                       [state.vel, state.pressure])
+    if eng is not None:
+        vel, pressure = eng.unpack_many([velp, pp],
+                                        [state.vel, state.pressure])
+    else:
+        vel, pressure = unpack_liquid_many(grid, [velp, pp],
+                                           [state.vel, state.pressure])
     pos = state.pos.at[:, :nl].add(vel * dt)
 
     diag = StepDiagnostics(
@@ -214,7 +225,7 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
         density_error_pre=mid.err_pre,
         neighbor_overflow=grid.overflow,
         vel_max=jnp.sqrt(jnp.maximum(
-            dense_ops.liquid_max(grid, jnp.sum(velp * velp, axis=0)), 0.0)),
+            comm.lmax(jnp.sum(velp * velp, axis=0)), 0.0)),
     )
     return state.replace(pos=pos, vel=vel,
                          pressure=pressure,

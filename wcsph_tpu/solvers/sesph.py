@@ -34,7 +34,8 @@ def default_config(**overrides) -> SimConfig:
 def step_middle(comm, cfg: SimConfig, velp, dt):
     """Density -> EOS -> forces -> velocity update, comm-parameterized
     (runs single-device or slab-sharded; see parallel/halo.py)."""
-    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(3, 1, 1)
+    gvec = jnp.asarray(cfg.gravity, jnp.float32).reshape(
+        (3,) + (1,) * (velp.ndim - 1))
     if comm.engine is not None:
         rho_raw, _, _ = comm.engine.density_alpha(with_alpha=False)
         rhop, pp = ops.tait_pressure(rho_raw, cfg)
@@ -56,24 +57,34 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
     grid = build_grid(state.pos, nl, cfg)
+    eng = None
     if cfg.use_pallas:
-        from ..pallas.engine import SweepEngine
+        from ..pallas.engine import PaddedEngine, SweepEngine
+        from ..parallel.comm import PaddedNoComm
 
-        comm = NoComm(grid, cfg, engine=SweepEngine(grid, cfg))
+        eng = PaddedEngine(SweepEngine(grid, cfg))
+        comm = PaddedNoComm(grid, cfg, engine=eng)
     else:
         comm = NoComm(grid, cfg)
 
-    velp, rhop, pp = step_middle(comm, cfg, pack_liquid(grid, state.vel), dt)
-    vel = unpack_liquid(grid, velp, state.vel)
+    vp = pack_liquid(grid, state.vel)
+    if eng is not None:
+        vp = eng.pad_state(vp)
+    velp, rhop, pp = step_middle(comm, cfg, vp, dt)
+    if eng is not None:
+        vel, pressure = eng.unpack_many([velp, pp],
+                                        [state.vel, state.pressure])
+    else:
+        vel = unpack_liquid(grid, velp, state.vel)
+        pressure = unpack_liquid(grid, pp, state.pressure)
     pos = state.pos.at[:, :nl].add(vel * dt)
-    pressure = unpack_liquid(grid, pp, state.pressure)
 
     diag = StepDiagnostics(
-        density_error=dense_ops.liquid_sum(grid, rhop)
-        / jnp.maximum(jnp.sum(grid.liquid), 1) / cfg.rest_density - 1.0,
+        density_error=comm.lsum(rhop)
+        / comm.n_liquid() / cfg.rest_density - 1.0,
         neighbor_overflow=grid.overflow,
         vel_max=jnp.sqrt(jnp.maximum(
-            dense_ops.liquid_max(grid, jnp.sum(velp * velp, axis=0)), 0.0)),
+            comm.lmax(jnp.sum(velp * velp, axis=0)), 0.0)),
     )
     return state.replace(
         pos=pos, vel=vel, pressure=pressure,
