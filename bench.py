@@ -16,10 +16,10 @@ import time
 import numpy as np
 
 # Measured on one TPU v5e chip (see git history): 9.2e5 particle-steps/s at
-# 100k particles, 4.6e5 at 1M.
+# 100k particles, 2.2-2.5e6 at 1M (see CLAUDE.md perf history).
 
 
-def build_sim(n_side: int, solver: str = "dfsph"):
+def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True):
     from wcsph_tpu import dam_break
     from wcsph_tpu.simulation import Simulation, default_config
 
@@ -35,12 +35,18 @@ def build_sim(n_side: int, solver: str = "dfsph"):
     use_pallas = True   # every solver runs on the Mosaic sweep engine
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
-                         cell_capacity=24 if use_pallas else 16)
+                         cell_capacity=24 if use_pallas else 16,
+                         resident=resident)
     return Simulation(sc, cfg, solver=solver)
 
 
-def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph"):
-    sim = build_sim(n_side, solver)
+def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
+               resident: bool = True):
+    sim = build_sim(n_side, solver, resident=resident)
+    # resident mode: the rebuild branch compiles into the same step program
+    # (resident.rebin_auto lax.cond), so the default warmup covers it; the
+    # measured window contains cadenced rebuilds — their amortized runtime
+    # is part of the metric
     nl = sim.state.n_liquid
     print(f"[bench] n_liquid={nl} n_total={sim.state.n_total} "
           f"grid={sim.cfg.grid_res}", file=sys.stderr)
@@ -80,6 +86,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--solver", default="dfsph",
                     choices=["sesph", "pcisph", "iisph", "dfsph"])
+    ap.add_argument("--no-resident", action="store_true",
+                    help="disable the resident packed state (resident.py)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +102,8 @@ def main():
     for side in sides:
         try:
             throughput, nl, tel = bench_once(side, args.warmup, args.steps,
-                                             args.solver)
+                                             args.solver,
+                                             resident=not args.no_resident)
             label = "1M" if nl >= 900_000 else ("100k" if nl >= 90_000 else str(nl))
             result = {
                 "metric": f"{args.solver}_particle_steps_per_sec_{label}",

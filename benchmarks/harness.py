@@ -218,7 +218,14 @@ def main():
 
     solvers = args.solvers.split(",")
     scales = [int(s) for s in args.scales.split(",")]
+    # partial-suite runs keep the other suite's rows from the existing
+    # results.json, so --suite iters does not clobber the throughput table
     result = {"backend": jax.default_backend()}
+    try:
+        with open(args.out) as f:
+            result = {**json.load(f), "backend": jax.default_backend()}
+    except (OSError, json.JSONDecodeError):
+        pass
     if args.suite in ("all", "iters"):
         # the violent column needs ~0.25 s of free fall before impact; run it
         # long enough (>= 800 fixed-dt steps) that the max-iteration samples

@@ -1,11 +1,6 @@
-"""Dev perf: capture a jax.profiler trace of N DFSPH steps on the TPU and
-print per-op device self-times (uses the locally installed xprof converter).
+"""Dev perf: op-level device trace of ONE jitted rebin_incremental at scale.
 
-  python scripts/trace_profile.py [side] [steps] [cap]
-
-This is how the round-2 step breakdown was measured (ROADMAP.md): the
-aggregated rows show e.g. the pack gather, the pallas sweeps inside/outside
-the solver while-loops, and the build_grid scatters as separate lines.
+  python scripts/rebin_trace.py [side]
 """
 import collections
 import glob
@@ -24,33 +19,40 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 side = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-cap = int(sys.argv[3]) if len(sys.argv) > 3 else 24
-resident = len(sys.argv) > 4 and sys.argv[4] == "resident"
 
-from wcsph_tpu import dam_break
+from wcsph_tpu import dam_break, resident
 from wcsph_tpu.simulation import Simulation, default_config
+from wcsph_tpu.pallas.engine import make_plan
 
 r = 0.025
 sc = dam_break(particle_radius=r, fluid_dims=(side,) * 3,
                box_extent=side * 2 * r * 1.35)
 lo, hi = sc.domain(pad=6 * r)
-cfg = default_config("dfsph", particle_radius=r, domain_min=lo,
-                     domain_max=hi, use_pallas=True, cell_capacity=cap,
-                     resident=resident)
+cfg = default_config("dfsph", particle_radius=r, domain_min=lo, domain_max=hi,
+                     use_pallas=True, cell_capacity=24, resident=True)
 sim = Simulation(sc, cfg, solver="dfsph")
-for _ in range(3):
+for _ in range(4):
     sim.step()
-np.asarray(sim.state.pos.ravel()[0])
+rs = sim._rs
+np.asarray(rs.grid.xp.ravel()[0])
+plan = make_plan(cfg, cfg.cell_capacity)
+n = rs.grid.slot.shape[0]
+budget = max(1024, int(n * cfg.resident_mover_frac))
 
-tracedir = tempfile.mkdtemp(prefix="wcsph_trace_")
+steps = 4
+g = jax.jit(lambda gr, d, s: resident.rebin_incremental(
+    plan, cfg, gr, d, s, budget))
+out = g(rs.grid, rs.dyn, rs.side)
+np.asarray(out[0].pid.ravel()[0])
+
+tracedir = tempfile.mkdtemp(prefix="rebin_trace_")
 t0 = time.time()
 with jax.profiler.trace(tracedir):
     for _ in range(steps):
-        sim.step()
-    np.asarray(sim.state.pos.ravel()[0])
+        out = g(rs.grid, rs.dyn, rs.side)
+    np.asarray(out[0].pid.ravel()[0])
 wall = (time.time() - t0) / steps
-print(f"wall {wall * 1e3:.1f} ms/step over {steps} steps", file=sys.stderr)
+print(f"wall {wall * 1e3:.1f} ms/call over {steps} calls", file=sys.stderr)
 
 from xprof.convert import raw_to_tool_data as rtd
 
@@ -65,15 +67,14 @@ i = {k: cols.index(k) for k in ("host_or_device", "operation",
                                 "occurrences", "total_self_time")}
 dev = sorted((r for r in rows if r[i["host_or_device"]] == "Device"),
              key=lambda r: -r[i["total_self_time"]])
-print(f"{'ms/step':>9} {'n/step':>7}  op   (device self time)")
+print(f"{'ms/call':>9} {'n/call':>7}  op   (device self time)")
 total = 0.0
-for r in dev[:30]:
+for r in dev[:25]:
     ms = r[i["total_self_time"]] / 1e3 / steps
     total += ms
     print(f"{ms:9.2f} {r[i['occurrences']] / steps:7.1f}  "
-          f"{str(r[i['operation']])[:80]}")
-rest = sum(r[i["total_self_time"]] for r in dev[30:]) / 1e3 / steps
+          f"{str(r[i['operation']])[:90]}")
+rest = sum(r[i["total_self_time"]] for r in dev[25:]) / 1e3 / steps
 print(f"{rest:9.2f}          (all other ops)")
 print(f"{total + rest:9.2f}          device total  "
-      f"(wall {wall * 1e3:.1f} -> {wall * 1e3 - total - rest:.0f} ms "
-      f"launch/host gap)")
+      f"(wall {wall * 1e3:.1f})")

@@ -1,0 +1,172 @@
+"""Resident packed state (wcsph_tpu/resident.py): the particle system lives
+in the padded engine layout across steps, relocated by an incremental rebin
+instead of a per-step full rebuild.
+
+Pinned here: (a) resident DFSPH trajectories match the non-resident engine
+path across rebuild boundaries, (b) the rebin keeps the grid/slot/side
+bookkeeping consistent (every particle has exactly one home), and (c) the
+cadenced rebuild heals holes and returns side-buffer particles.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from wcsph_tpu import dam_break, resident
+from wcsph_tpu.pallas.engine import make_plan
+from wcsph_tpu.simulation import Simulation, default_config
+
+
+def _sim(resident_on: bool, side=6, rebuild_every=3, **over):
+    r = 0.025
+    sc = dam_break(particle_radius=r, fluid_dims=(side,) * 3,
+                   box_extent=side * 2 * r * 1.5)
+    lo, hi = sc.domain(pad=6 * r)
+    cfg = default_config("dfsph", particle_radius=r, domain_min=lo,
+                         domain_max=hi, use_pallas=True,
+                         resident=resident_on,
+                         resident_rebuild_every=rebuild_every, **over)
+    return Simulation(sc, cfg, solver="dfsph")
+
+
+def test_resident_matches_engine_trajectory():
+    """8 resident DFSPH steps (crossing two cadenced rebuilds at cadence 3)
+    reproduce the non-resident engine trajectory.  The dam break collapses,
+    so the rebin genuinely relocates particles mid-run."""
+    sims = {flag: _sim(flag) for flag in (False, True)}
+    for _ in range(8):
+        for s in sims.values():
+            s.step()
+    sr, se = sims[True].state, sims[False].state
+    np.testing.assert_allclose(np.asarray(sr.pos), np.asarray(se.pos),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sr.vel), np.asarray(se.vel),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(float(sr.dt), float(se.dt), rtol=1e-5)
+    # nothing fell off the grid in this gentle scene
+    assert int(sims[True]._rs.grid.overflow) == 0
+    assert int(sims[True]._rs.grid.rebin_lost) == 0
+    # ... and the run actually exercised the rebin (particles changed cell)
+    assert float(np.abs(np.asarray(sr.vel)).max()) > 0.1
+
+
+def test_resident_bookkeeping_invariants():
+    """After several steps WITHOUT a rebuild (cadence 100), every particle
+    has exactly one home (a grid slot or a side-buffer seat), slot[] is the
+    inverse of pid[], and the bump pointers bound each cell's occupancy."""
+    sim = _sim(True, rebuild_every=100)
+    for _ in range(6):
+        sim.step()
+    rs = sim._rs
+    cfg = sim.cfg
+    plan = make_plan(cfg, cfg.cell_capacity)
+    pid = np.asarray(rs.grid.pid)
+    slot = np.asarray(rs.grid.slot)
+    side_pid = np.asarray(rs.side.pid)
+    n = slot.shape[0]
+
+    in_grid = pid[pid >= 0]
+    parked = side_pid[side_pid >= 0]
+    homes = np.concatenate([in_grid, parked])
+    assert len(homes) == len(np.unique(homes)) == n
+
+    flat_pid = pid.ravel()
+    occupied = np.nonzero(slot >= 0)[0]
+    assert (flat_pid[slot[occupied]] == occupied).all()
+    assert (slot[parked] == -1).all() if len(parked) else True
+
+    # per-cell occupancy never exceeds the bump pointer, pointer <= capacity
+    from wcsph_tpu.resident import _slot_cells
+    cell_of_slot, _ = _slot_cells(plan, cfg)
+    cell_of_slot = np.broadcast_to(np.asarray(cell_of_slot), pid.shape).ravel()
+    top = np.asarray(rs.grid.top)
+    counts = np.bincount(cell_of_slot[(flat_pid >= 0)
+                                      & (cell_of_slot >= 0)],
+                         minlength=cfg.num_cells)
+    assert (counts <= top).all()
+    assert (top <= cfg.cell_capacity).all()
+
+    # positions stored at slots match the materialized per-particle view
+    pos, _ = resident.materialize(rs.grid, rs.dyn, rs.side)
+    xp = np.asarray(rs.grid.xp).reshape(3, -1)
+    np.testing.assert_array_equal(
+        xp[:, slot[occupied]], np.asarray(pos)[:, occupied])
+
+
+def test_rebin_relocates_and_parks():
+    """Unit rebin: teleport one liquid particle to a distant cell (it must
+    re-bin there) and one outside the box (it must park in the side buffer
+    with its state intact, then return at the next rebuild)."""
+    sim = _sim(True)
+    rs = sim._rs
+    cfg = sim.cfg
+    plan = make_plan(cfg, cfg.cell_capacity)
+    slot = np.asarray(rs.grid.slot)
+    liq_flat = np.asarray(rs.grid.liquid).ravel()
+    liquid_pids = [p for p in range(sim.state.n_liquid)
+                   if slot[p] >= 0 and liq_flat[slot[p]]]
+    p_move, p_out = liquid_pids[0], liquid_pids[1]
+
+    xp = rs.grid.xp.reshape(3, -1)
+    lo = np.asarray(cfg.domain_min)
+    hi = np.asarray(cfg.domain_max)
+    mid = (lo + hi) / 2
+    for c in range(3):
+        xp = xp.at[c, slot[p_move]].set(float(mid[c]))
+        xp = xp.at[c, slot[p_out]].set(float(hi[c] + 1.0))
+    grid = rs.grid._replace(xp=xp.reshape(rs.grid.xp.shape))
+
+    budget = max(1024, int(slot.shape[0] * cfg.resident_mover_frac))
+    g2, dyn2, side2 = resident.rebin_incremental(
+        plan, cfg, grid, rs.dyn, rs.side, budget)
+
+    # teleported particle landed in the cell containing the box centre
+    from wcsph_tpu.grid import cell_of_positions
+    want_cell, _ = cell_of_positions(jnp.asarray(mid, jnp.float32)[:, None],
+                                     cfg)
+    s2 = np.asarray(g2.slot)
+    from wcsph_tpu.resident import _slot_cells
+    cell_of_slot, _ = _slot_cells(plan, cfg)
+    cell_of_slot = np.broadcast_to(np.asarray(cell_of_slot),
+                                   g2.pid.shape).ravel()
+    assert s2[p_move] >= 0
+    assert cell_of_slot[s2[p_move]] == int(want_cell[0])
+    # out-of-box particle parked with state intact
+    assert s2[p_out] == -1
+    side_pid = np.asarray(side2.pid)
+    seat = np.nonzero(side_pid == p_out)[0]
+    assert len(seat) == 1
+    assert int(side2.n) == 1 and int(g2.overflow) == 1
+    np.testing.assert_allclose(np.asarray(side2.dyn)[:3, seat[0]],
+                               np.asarray(rs.dyn[0]).reshape(3, -1)
+                               [:, slot[p_out]], rtol=1e-6)
+
+    # the vacated slots are now empty
+    pid2 = np.asarray(g2.pid).ravel()
+    assert pid2[slot[p_move]] == -1 and pid2[slot[p_out]] == -1
+
+    # rebuild: the parked particle re-enters the grid (it is out of box, so
+    # it stays unplaced — park again — but an in-box parked particle would
+    # return; emulate by pulling it back inside first)
+    side_pos = side2.pos.at[:, seat[0]].set(jnp.asarray(mid, jnp.float32))
+    rs2 = rs._replace(grid=g2, dyn=tuple(dyn2),
+                      side=side2._replace(pos=side_pos))
+    rs3 = resident.rebuild(cfg, rs2)
+    s3 = np.asarray(rs3.grid.slot)
+    assert s3[p_out] >= 0
+    assert int(rs3.side.n) == 0 and int(rs3.grid.overflow) == 0
+    assert int(rs3.grid.rebin_lost) == 0
+
+
+def test_resident_materialize_roundtrip():
+    """from_fluid -> to_fluid is the identity on the dynamic fields."""
+    sim = _sim(False)  # plain engine sim for a prototype state
+    st = sim.state
+    cfg = sim.cfg.replace(resident=True)
+    from wcsph_tpu.solvers.dfsph import RESIDENT_FIELDS
+    rs = resident.from_fluid(cfg, st, RESIDENT_FIELDS)
+    back = resident.to_fluid(rs, st, RESIDENT_FIELDS)
+    np.testing.assert_allclose(np.asarray(back.pos), np.asarray(st.pos),
+                               atol=0)
+    for nm in RESIDENT_FIELDS:
+        np.testing.assert_allclose(np.asarray(getattr(back, nm)),
+                                   np.asarray(getattr(st, nm)), atol=0)

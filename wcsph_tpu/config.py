@@ -111,6 +111,27 @@ class SimConfig:
     # pallas interpreter); bench.py enables it on TPU.
     use_pallas: bool = False
 
+    # Resident packed state (resident.py): the particle system lives in the
+    # padded engine layout across steps; per-step incremental rebin replaces
+    # the full sort/pack/unpack rebuild.  Requires use_pallas.
+    resident: bool = False
+    # Full re-sort cadence (hole/bump-pointer reset).  Counted ON DEVICE
+    # (resident.rebin_auto lax.cond) — a full rebuild also fires whenever
+    # the per-step mover count exceeds the budget (spike response), so no
+    # particle is ever stale-binned and no host sync exists.
+    resident_rebuild_every: int = 8
+    # Mover budget as a fraction of N.  Every K-sized rebin op (sort, mover
+    # gathers, apply scatters) scales with this budget, so it prices the
+    # whole rebin: at 1M the rebin trace is ~136 ms at 0.25 and the scatter/
+    # gather cost is linear in K.  The steady dam break measures ~2-8%
+    # movers/step (CFL bounds displacement to 0.2 cells) with lock-step
+    # spikes to ~30% when a coherently falling block crosses a cell plane;
+    # a step whose movers exceed the budget takes the full-rebuild branch
+    # of rebin_auto instead (nothing is lost or stale-binned).
+    resident_mover_frac: float = 0.08
+    # Side-buffer capacity (dropped particles keeping state) as fraction of N.
+    resident_side_frac: float = 0.02
+
     # Pair-math dtype for the XLA window sweeps ("float32" | "bfloat16").
     # bfloat16 halves the HBM traffic of the (C, C, NC) pair temporaries —
     # the bottleneck of the XLA path at 1M particles — at ~0.4% relative

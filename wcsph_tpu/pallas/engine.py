@@ -154,39 +154,68 @@ def _chunk_counts(plan: _Plan, occ: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(c, ((0, 0), (1, 1), (1, 1)))
 
 
-def _active_masks(plan: _Plan, grid: DenseGrid):
-    """Returns (act_any, act_liq, nonzero_any, nonzero_liq):
+def _chunk_counts_padded(plan: _Plan, occ_pad: jnp.ndarray) -> jnp.ndarray:
+    """_chunk_counts from an occupancy mask already in the padded
+    (NX, C, PP) layout (resident mode) — a pure reduction, no transpose of
+    the full array (the post-reduction arrays are tiny)."""
+    core = occ_pad[1:-1, :, _MARGIN:_MARGIN + plan.nq * plan.Q]
+    c = core.reshape(plan.gx, plan.NRB, 8, plan.nq,
+                     plan.Q).sum((2, 4)).astype(jnp.int32)
+    c = jnp.moveaxis(c, 0, 1)                  # (NRB, gx, nq)
+    return jnp.pad(c, ((0, 0), (1, 1), (1, 1)))
+
+
+def _nbr_counts(plan: _Plan, counts: jnp.ndarray, dxs, sgns) -> jnp.ndarray:
+    """Per-offset neighbor-side chunk counts, VECTORIZED over offsets:
+    (NRB, NX, nq+2) -> (NRB, noff, gx, nq).  A Python loop over offsets
+    costs ~8 tiny XLA ops per offset, and on the remote-TPU platform every
+    op pays a fixed launch gap — the batched gather form is ~20x fewer ops
+    (measured: engine-mask construction 215 -> ~40 ms at 1M)."""
+    dxs = np.asarray(dxs)
+    sgns = np.asarray(sgns)
+    noff = len(dxs)
+    # (noff, gx, nq) index grids into the padded (NX, nq+2) axes
+    ix = np.broadcast_to(
+        ((np.arange(plan.gx) + 1)[None, :] + dxs[:, None])[:, :, None],
+        (noff, plan.gx, plan.nq))
+    q1 = np.broadcast_to((np.arange(plan.nq) + 1)[None, None, :], ix.shape)
+    base = counts[:, ix, q1]                           # (NRB, noff, gx, nq)
+    shifted = counts[:, ix, q1 + sgns[:, None, None]]
+    add = jnp.asarray((sgns != 0).astype(np.int32))[None, :, None, None]
+    return base + shifted * add
+
+
+def _bitmask_pack(plan: _Plan, home_a, home_l, na, nl):
+    """(NRB, …) home counts + (NRB, noff, gx, nq) neighbor counts ->
+    (act_any, act_liq) (gx, nq, noff) int32 bitmasks, bit rbh*NRB+rbn."""
+    wts = (1 << np.arange(plan.NRB * plan.NRB, dtype=np.int32)).reshape(
+        plan.NRB, plan.NRB)
+    wts = jnp.asarray(wts)[:, :, None, None, None]
+    # (rbh, rbn, noff, gx, nq)
+    pair_any = (home_a[:, None, None] > 0) & (na[None] > 0)
+    pair_liq = pair_any & ((home_l[:, None, None] > 0) | (nl[None] > 0))
+    bits_any = jnp.sum(wts * pair_any, axis=(0, 1)).astype(jnp.int32)
+    bits_liq = jnp.sum(wts * pair_liq, axis=(0, 1)).astype(jnp.int32)
+    return (jnp.moveaxis(bits_any, 0, -1), jnp.moveaxis(bits_liq, 0, -1))
+
+
+def _active_masks(plan: _Plan, ca: jnp.ndarray, cl: jnp.ndarray):
+    """Returns (act_any, act_liq, nonzero_any, nonzero_liq) from the
+    (NRB, NX, nq+2) valid/liquid chunk counts:
     act_* : (gx, nq, 27) int32 bitmasks, bit rbh*NRB+rbn;
     nonzero_* : (gx, nq) int32 (1 if any offset bit set — gates DMA).
     act_any uses the rule "both sides occupied"; act_liq additionally
     requires liquid on at least one side (enough for every op whose outputs
     are only consumed at liquid slots)."""
-    ca = _chunk_counts(plan, grid.valid)       # (NRB, NX, nq+2)
-    cl = _chunk_counts(plan, grid.liquid)
     px = np.arange(plan.gx)
     q = np.arange(plan.nq)
     home_a = ca[:, px + 1][:, :, q + 1]        # (NRB, gx, nq)
     home_l = cl[:, px + 1][:, :, q + 1]
-
-    # bit weights: (rbh, rbn) -> 1 << (rbh * NRB + rbn)
-    wts = (1 << np.arange(plan.NRB * plan.NRB, dtype=np.int32)).reshape(
-        plan.NRB, plan.NRB)
-    wts = jnp.asarray(wts)[:, :, None, None]
-    bits_any, bits_liq = [], []
-    for (dx, dy, dz) in _OFFSETS:
-        sgn = int(np.sign(dy * plan.gz + dz))
-        na = ca[:, px + 1 + dx][:, :, q + 1]
-        nl = cl[:, px + 1 + dx][:, :, q + 1]
-        if sgn != 0:
-            na = na + ca[:, px + 1 + dx][:, :, q + 1 + sgn]
-            nl = nl + cl[:, px + 1 + dx][:, :, q + 1 + sgn]
-        # (rbh, rbn, gx, nq)
-        pair_any = (home_a[:, None] > 0) & (na[None] > 0)
-        pair_liq = pair_any & ((home_l[:, None] > 0) | (nl[None] > 0))
-        bits_any.append(jnp.sum(wts * pair_any, axis=(0, 1)))
-        bits_liq.append(jnp.sum(wts * pair_liq, axis=(0, 1)))
-    bits_any = jnp.stack(bits_any, axis=-1).astype(jnp.int32)
-    bits_liq = jnp.stack(bits_liq, axis=-1).astype(jnp.int32)
+    dxs = [o[0] for o in _OFFSETS]
+    sgns = [int(np.sign(o[1] * plan.gz + o[2])) for o in _OFFSETS]
+    na = _nbr_counts(plan, ca, dxs, sgns)
+    nl = _nbr_counts(plan, cl, dxs, sgns)
+    bits_any, bits_liq = _bitmask_pack(plan, home_a, home_l, na, nl)
     nz_any = (jnp.sum(bits_any, axis=2) > 0).astype(jnp.int32)
     nz_liq = (jnp.sum(bits_liq, axis=2) > 0).astype(jnp.int32)
     return bits_any, bits_liq, nz_any, nz_liq
@@ -382,35 +411,23 @@ def _sym_offsets():
     return table
 
 
-def _active_masks_sym(plan: _Plan, grid: DenseGrid):
+def _active_masks_sym(plan: _Plan, ca: jnp.ndarray, cl: jnp.ndarray):
     """(act_liq, nz_liq, act_any, nz_any) for the 14 half-window offsets.
     act_liq uses the liquid-on-either-side rule (the mirror write makes
     every block liquid-relevant from both ends); act_any only requires both
     sides occupied (for ops whose outputs are read at solid slots too)."""
-    ca = _chunk_counts(plan, grid.valid)       # (NRB, NX, nq+2)
-    cl = _chunk_counts(plan, grid.liquid)
     px = np.arange(plan.gx)
     q = np.arange(plan.nq)
     home_a = ca[:, px + 1][:, :, q + 1]
     home_l = cl[:, px + 1][:, :, q + 1]
-    wts = (1 << np.arange(plan.NRB * plan.NRB, dtype=np.int32)).reshape(
-        plan.NRB, plan.NRB)
-    wts = jnp.asarray(wts)[:, :, None, None]
-    bits_l, bits_a = [], []
-    for (dy, dz), dxs in _sym_offsets():
-        for dx in dxs:
-            sgn = int(np.sign(dy * plan.gz + dz))
-            na = ca[:, px + 1 + dx][:, :, q + 1]
-            nl = cl[:, px + 1 + dx][:, :, q + 1]
-            if sgn != 0:
-                na = na + ca[:, px + 1 + dx][:, :, q + 1 + sgn]
-                nl = nl + cl[:, px + 1 + dx][:, :, q + 1 + sgn]
-            pair_any = (home_a[:, None] > 0) & (na[None] > 0)
-            pair_liq = pair_any & ((home_l[:, None] > 0) | (nl[None] > 0))
-            bits_a.append(jnp.sum(wts * pair_any, axis=(0, 1)))
-            bits_l.append(jnp.sum(wts * pair_liq, axis=(0, 1)))
-    act_l = jnp.stack(bits_l, axis=-1).astype(jnp.int32)   # (gx, nq, 14)
-    act_a = jnp.stack(bits_a, axis=-1).astype(jnp.int32)
+    dxs, sgns = [], []
+    for (dy, dz), ds in _sym_offsets():
+        for dx in ds:
+            dxs.append(dx)
+            sgns.append(int(np.sign(dy * plan.gz + dz)))
+    na = _nbr_counts(plan, ca, dxs, sgns)
+    nl = _nbr_counts(plan, cl, dxs, sgns)
+    act_a, act_l = _bitmask_pack(plan, home_a, home_l, na, nl)  # (gx, nq, 14)
     nz_l = (jnp.sum(act_l, axis=2) > 0).astype(jnp.int32)
     nz_a = (jnp.sum(act_a, axis=2) > 0).astype(jnp.int32)
     return act_l, nz_l, act_a, nz_a
@@ -1060,8 +1077,7 @@ class _IisphDij(_Emit):
 
 class _IisphS(_Emit):
     """The s_i sweep of the relaxed Jacobi iteration (s_fn twin,
-    iisph.py:336-370): mixed one-sided terms, so this op stays full-window
-    (no sym form).  Channels: [s]; fields: [xp, dii3, dij3, p_liq, g,
+    iisph.py:336-370).  Channels: [s]; fields: [xp, dii3, dij3, p_liq, g,
     liq, sol] with p_liq = liq*p and g = V0 p / den^2 precomputed."""
 
     n_out = 1
@@ -1081,6 +1097,31 @@ class _IisphS(_Emit):
                                         + dji_pi_dot)
         term_sol = cfg.solid_volume * dij_dot_i
         return [jnp.sum(liq_j * term_liq + sol_j * term_sol, axis=1)]
+
+    def sym(self, ctx: PairCtx):
+        """Dual-sided derivation (VERDICT r2 next-step 6).  With r flipping
+        sign for the mirror receiver, every one-sided term maps onto the
+        shared dots A_* = gs (dij_* . r), B_* = gs p_liq_* (dii_* . r),
+        Q = gs^2 |r|^2:
+          home  (recv h, nbr n): liq_n V0 (A_h - A_n - B_n + g_h Q)
+                                 + sol_n Vs A_h
+          mirror(recv n, nbr h): liq_h V0 (A_h - A_n + B_h + g_n Q)
+                                 + sol_h Vs (-A_n)
+        """
+        cfg = self.cfg
+        gs = ctx.gs()
+        r = ctx.r
+        a_h = gs * sum(ctx.home(2, c) * r[c] for c in range(3))
+        a_n = gs * sum(ctx.nbr(2, c) * r[c] for c in range(3))
+        b_h = gs * ctx.home(3) * sum(ctx.home(1, c) * r[c] for c in range(3))
+        b_n = gs * ctx.nbr(3) * sum(ctx.nbr(1, c) * r[c] for c in range(3))
+        q = gs * gs * ctx.d2
+        v0, vs = cfg.liquid_volume, cfg.solid_volume
+        home = (ctx.nbr(5) * (v0 * (a_h - a_n - b_n + ctx.home(4) * q))
+                + ctx.nbr(6) * (vs * a_h))
+        mirr = (ctx.home(5) * (v0 * (a_h - a_n + b_h + ctx.nbr(4) * q))
+                + ctx.home(6) * (vs * (-a_n)))
+        return [jnp.sum(home, axis=1)], [jnp.sum(mirr, axis=0)]
 
 
 class _IisphForce(_Emit):
@@ -1250,15 +1291,26 @@ class SweepEngine:
         self.sol_pad = _pad_field(p, sol, 0.0)[None]
         self.vol_pad = _pad_field(p, vol, 0.0)[None]
 
-        act_any, act_liq, nz_any, nz_liq = _active_masks(p, grid)
+        ca = _chunk_counts(p, grid.valid)
+        cl = _chunk_counts(p, grid.liquid)
+        self._init_masks(ca, cl, lambda pf: (_chunk_counts(pf, grid.valid),
+                                             _chunk_counts(pf, grid.liquid)))
+
+    def _init_masks(self, ca, cl, fine_counts):
+        """Shared tail of construction: occupancy bitmasks from the
+        (NRB, NX, nq+2) chunk counts; ``fine_counts(plan_fine)`` supplies
+        the half-chunk counts when the fine plan differs."""
+        p = self.plan
+        act_any, act_liq, nz_any, nz_liq = _active_masks(p, ca, cl)
         self.act_any, self.act_liq = act_any, act_liq
         self.nz_any, self.nz_liq = nz_any, nz_liq
         (self.act_sym, self.nz_sym,
-         self.act_sym_any, self.nz_sym_any) = _active_masks_sym(p, grid)
+         self.act_sym_any, self.nz_sym_any) = _active_masks_sym(p, ca, cl)
         self.plan_fine = fine_plan(p)
         if self.plan_fine is not p:
+            ca_f, cl_f = fine_counts(self.plan_fine)
             (self.act_sym_f, self.nz_sym_f, _, _) = _active_masks_sym(
-                self.plan_fine, grid)
+                self.plan_fine, ca_f, cl_f)
         else:
             self.act_sym_f, self.nz_sym_f = self.act_sym, self.nz_sym
 
@@ -1384,12 +1436,17 @@ class SweepEngine:
         return run(_IisphDij, [self.xp_pad, self._pad1(fac)])
 
     def iisph_s(self, dii, dij, p_liq, g):
-        """s_i sweep (full-window; its mixed one-sided terms have no shared
-        pair factor)."""
-        out = self._run(_IisphS,
-                        [self.xp_pad, self._pad3(dii), self._pad3(dij),
-                         self._pad1(p_liq), self._pad1(g),
-                         self.liq_pad, self.sol_pad])
+        """s_i sweep — half-window since round 3 (dual-sided _IisphS.sym;
+        the op runs once per Jacobi iteration, so this halves the dominant
+        IISPH sweep).  ``fine`` chunks: 13 field components x 2 DMA rows is
+        the VMEM-heaviest sym body."""
+        fields = [self.xp_pad, self._pad3(dii), self._pad3(dij),
+                  self._pad1(p_liq), self._pad1(g),
+                  self.liq_pad, self.sol_pad]
+        if SYM_SWEEPS:
+            out = self._run_sym(_IisphS, fields, fine=True)
+        else:
+            out = self._run(_IisphS, fields)
         return out[0]
 
     def iisph_force(self, dpi):
@@ -1509,6 +1566,34 @@ class PaddedEngine(SweepEngine):
     def __init__(self, base: SweepEngine):
         self.__dict__.update(base.__dict__)
         self.liq_mask = _pad_field(self.plan, self.grid.liquid, False)
+
+    @classmethod
+    def from_resident(cls, rgrid, cfg: SimConfig, interpret=None):
+        """Construct from a resident padded grid (resident.py): positions
+        and masks are ALREADY in the padded layout, so no (C, NC)
+        intermediate or pad-transpose exists anywhere in the step."""
+        self = cls.__new__(cls)
+        self.grid = rgrid
+        self.cfg = cfg
+        self.interpret = (_interpret_default() if interpret is None
+                          else interpret)
+        self.plan = make_plan(cfg, rgrid.pid.shape[1])
+        p = self.plan
+        self.xp_pad = rgrid.xp
+        valid = rgrid.pid >= 0
+        self.liq_mask = rgrid.liquid
+        self.liq_pad = rgrid.liquid.astype(jnp.float32)[None]
+        self.sol_pad = (valid & ~rgrid.liquid).astype(jnp.float32)[None]
+        self.vol_pad = jnp.where(
+            rgrid.liquid, cfg.liquid_volume,
+            jnp.where(valid, cfg.solid_volume, 0.0))[None]
+        ca = _chunk_counts_padded(p, valid)
+        cl = _chunk_counts_padded(p, rgrid.liquid)
+        self._init_masks(
+            ca, cl,
+            lambda pf: (_chunk_counts_padded(pf, valid),
+                        _chunk_counts_padded(pf, rgrid.liquid)))
+        return self
 
     @property
     def xp_owned(self):

@@ -1,0 +1,503 @@
+"""Resident packed state: the particle system lives IN the padded engine
+layout across steps.
+
+Round-2 profiling showed ~150-175 ms of the ~440 ms 1M DFSPH step was spent
+rebuilding the packed layout from scratch every step — argsort binning
+(~45 ms), the 11-component pack gather (~65-75 ms), the unpack gather
+(~44 ms) — although particles move far less than a cell per step
+(CFL-bounded displacement <= 0.4 * diameter = 0.2 cells) and solids never
+move at all.  The reference rebuilds its hash grid every frame too
+(HashGrid.py:56-86), but its atomic-append rebuild is O(N); ours is
+gather/scatter-bound, so persistence pays.
+
+Design (all static shapes, one jitted step, no host round-trips):
+
+* State arrays stay in the padded (NX, C, PP) sweep-engine layout
+  permanently; positions update elementwise in place.
+* Per step, an **incremental rebin** relocates only the particles whose
+  cell changed: a slot-space cell check (elementwise), a particle-space
+  compaction (one N-gather + cumsum + one N-scatter), then K-sized sorts,
+  gathers and scatters for the movers (K = mover budget << N).  Movers
+  append at ``top[cell]`` (a per-cell bump pointer), so relocation is
+  collision-free without atomics: vacated ranks are below every bump
+  pointer, and same-cell movers get distinct ranks from their sort order.
+* Holes accumulate where movers left; the occupancy bitmasks (engine)
+  handle them, at a slowly growing sweep cost.  A **cadenced full rebuild**
+  (host-counted, every ``cfg.resident_rebuild_every`` steps — no per-step
+  device->host sync) re-sorts from scratch and resets the bump pointers.
+* Out-of-box movers and movers whose destination cell is full go to a
+  small **side buffer**: they keep their state, take no interactions
+  (exactly the reference's overflow semantics, HashGrid.py:73), and
+  re-enter at the next full rebuild.  Mover-budget overspill stays binned
+  at the old cell until the next rebuild and is counted in ``rebin_lost``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .grid import EMPTY_POS, cell_of_positions
+from .pallas.engine import _MARGIN, make_plan
+
+
+class ResidentGrid(NamedTuple):
+    """Binning state in the padded layout (play-alike of grid.DenseGrid)."""
+
+    pid: jnp.ndarray        # (NX, C, PP) int32, -1 empty
+    liquid: jnp.ndarray     # (NX, C, PP) bool
+    xp: jnp.ndarray         # (3, NX, C, PP) f32, EMPTY_POS at empty slots
+    slot: jnp.ndarray       # (N,) int32 flat padded slot, -1 = side/dropped
+    top: jnp.ndarray        # (NC,) int32 per-cell bump pointer
+    overflow: jnp.ndarray   # () int32 particles in the side buffer
+    rebin_lost: jnp.ndarray  # () int32 movers beyond budget (stale-binned)
+    since_rebuild: jnp.ndarray  # () int32 steps since the last full re-sort
+
+    @property
+    def valid(self):
+        return self.pid >= 0
+
+
+class SideBuffer(NamedTuple):
+    """Fixed-capacity park for dropped particles (kept state, no pairs)."""
+
+    pos: jnp.ndarray        # (3, S)
+    dyn: jnp.ndarray        # (D, S) stacked dynamic components
+    pid: jnp.ndarray        # (S,) int32, -1 empty
+    n: jnp.ndarray          # () int32
+
+
+class ResidentState(NamedTuple):
+    grid: ResidentGrid
+    dyn: tuple              # solver-ordered padded fields ((k, NX, C, PP))
+    side: SideBuffer
+    dt: jnp.ndarray
+    time: jnp.ndarray
+    last_visc_iters: jnp.ndarray
+    last_pressure_iters: jnp.ndarray
+    diag: object            # state.StepDiagnostics
+    n_liquid: int           # STATIC (aux data, not a leaf)
+
+
+jax.tree_util.register_pytree_node(
+    ResidentGrid,
+    lambda g: (tuple(g), None),
+    lambda _, c: ResidentGrid(*c))
+jax.tree_util.register_pytree_node(
+    SideBuffer,
+    lambda s: (tuple(s), None),
+    lambda _, c: SideBuffer(*c))
+jax.tree_util.register_pytree_node(
+    ResidentState,
+    lambda s: (tuple(s)[:-1], s.n_liquid),
+    lambda nl, c: ResidentState(*c, nl))
+
+
+def _flat_slot(plan, px, rank, pp):
+    """Padded flat index of (plane px, capacity rank, in-plane cell pp)."""
+    return ((px + 1) * plan.C + rank) * plan.PP + (_MARGIN + pp)
+
+
+def build_grid_padded(plan, pos: jnp.ndarray, n_liquid: int,
+                      cfg: SimConfig) -> ResidentGrid:
+    """grid.build_grid emitting the PADDED layout directly: same argsort +
+    rank-in-run placement (grid.py:75-122), but the pid/xp scatters target
+    padded flat slots, so no (C, NC) intermediate or pad-transpose exists."""
+    n = pos.shape[1]
+    nc = cfg.num_cells
+    cap = plan.C
+    P, PP, NX = plan.P, plan.PP, plan.NX
+    nflat = NX * cap * PP
+
+    cell_id, inbox = cell_of_positions(pos, cfg)
+    cell_id = jnp.where(inbox, cell_id, nc)
+
+    order = jnp.argsort(cell_id)
+    sorted_cell = cell_id[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.ones((1,), bool),
+                              sorted_cell[1:] != sorted_cell[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, iota, 0))
+    rank = iota - run_start
+
+    px = jnp.minimum(sorted_cell, nc - 1) // P
+    pp = jnp.minimum(sorted_cell, nc - 1) - px * P
+    flat = _flat_slot(plan, px, rank, pp)
+    ok = (rank < cap) & (sorted_cell < nc)
+    sl = jnp.where(ok, flat, nflat)
+
+    pid = jnp.full((nflat,), -1, jnp.int32).at[sl].set(
+        order.astype(jnp.int32), mode="drop").reshape(NX, cap, PP)
+    pos_sorted = pos[:, order]
+    xp = jnp.stack([
+        jnp.full((nflat,), EMPTY_POS, jnp.float32)
+        .at[sl].set(pos_sorted[c], mode="drop")
+        for c in range(3)
+    ]).reshape(3, NX, cap, PP)
+
+    slot_all = jnp.full((n,), -1, jnp.int32)
+    slot_all = slot_all.at[order].set(jnp.where(ok, flat, -1))
+
+    liquid = (pid >= 0) & (pid < n_liquid)
+    # per-cell counts from the sorted runs: write each run's LENGTH at its
+    # last element — unique indices (a duplicate-index scatter-add
+    # serializes catastrophically on TPU; scripts/prim_perf.py)
+    is_last = jnp.concatenate([sorted_cell[1:] != sorted_cell[:-1],
+                               jnp.ones((1,), bool)])
+    top = jnp.zeros((nc,), jnp.int32).at[
+        jnp.where(is_last & (sorted_cell < nc), sorted_cell, nc)].set(
+            jnp.minimum(rank + 1, cap), mode="drop")
+    overflow = jnp.sum((rank >= cap) & (sorted_cell < nc)).astype(jnp.int32)
+    return ResidentGrid(pid=pid, liquid=liquid, xp=xp, slot=slot_all,
+                        top=top, overflow=overflow,
+                        rebin_lost=jnp.int32(0),
+                        since_rebuild=jnp.int32(0))
+
+
+def pack_many_padded(plan, rgrid: ResidentGrid, fields: Sequence,
+                     fill: float = 0.0):
+    """pack_liquid_many straight into the padded layout: one stacked
+    leading-dim gather through the padded pid (grid.py:151-177 twin)."""
+    idx = jnp.maximum(rgrid.pid, 0).ravel()
+    parts, sizes = [], []
+    for x in fields:
+        x2 = x[None] if x.ndim == 1 else x
+        parts.append(x2)
+        sizes.append(x2.shape[0])
+    stacked = jnp.concatenate(parts, axis=0)
+    got = stacked[:, idx].reshape(len(stacked), *rgrid.pid.shape)
+    got = jnp.where(rgrid.liquid[None], got, fill)
+    out, o = [], 0
+    for x, k in zip(fields, sizes):
+        sl = got[o:o + k]
+        out.append(sl[0] if x.ndim == 1 else sl)
+        o += k
+    return out
+
+
+def _slot_cells(plan, cfg: SimConfig):
+    """Per-slot owning cell id (NX, 1, PP) and an in-frame mask; margin and
+    tail slots get cell -1."""
+    px0 = jnp.arange(plan.NX, dtype=jnp.int32)[:, None, None] - 1
+    pp = jnp.arange(plan.PP, dtype=jnp.int32)[None, None, :] - _MARGIN
+    ok = ((px0 >= 0) & (px0 < plan.gx) & (pp >= 0) & (pp < plan.P))
+    return jnp.where(ok, px0 * plan.P + pp, -1), ok
+
+
+def _stack_particle_dyn(fields: Sequence) -> jnp.ndarray:
+    """[(k, NL) / (NL,)] -> (D, NL)."""
+    return jnp.concatenate([x[None] if x.ndim == 1 else x for x in fields],
+                           axis=0)
+
+
+def park_unplaced(rgrid: ResidentGrid, pos: jnp.ndarray,
+                  dyn_stacked: jnp.ndarray, side_cap: int) -> SideBuffer:
+    """Park every particle the build left without a slot (capacity overflow /
+    out of box) in a fresh side buffer, preserving its state."""
+    n = rgrid.slot.shape[0]
+    nl = dyn_stacked.shape[1]
+    un = rgrid.slot < 0
+    csum = jnp.cumsum(un.astype(jnp.int32))
+    w = jnp.where(un & (csum - 1 < side_cap), csum - 1, side_cap)
+    pids = jnp.full((side_cap,), -1, jnp.int32).at[w].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    pc = jnp.maximum(pids, 0)
+    return SideBuffer(pos=pos[:, pc],
+                      dyn=dyn_stacked[:, jnp.minimum(pc, nl - 1)],
+                      pid=pids,
+                      n=jnp.minimum(csum[-1], side_cap))
+
+
+def _side_cap(cfg: SimConfig, n: int) -> int:
+    return max(256, int(n * cfg.resident_side_frac))
+
+
+def from_fluid(cfg: SimConfig, state, dyn_names: Sequence[str]
+               ) -> ResidentState:
+    """Initial residence: full build + pack from a per-particle FluidState."""
+    plan = make_plan(cfg, cfg.cell_capacity)
+    dyn_fields = [getattr(state, nm) for nm in dyn_names]
+    rgrid = build_grid_padded(plan, state.pos, state.n_liquid, cfg)
+    padded = pack_many_padded(plan, rgrid, dyn_fields)
+    side = park_unplaced(rgrid, state.pos, _stack_particle_dyn(dyn_fields),
+                         _side_cap(cfg, state.n_total))
+    rgrid = rgrid._replace(overflow=side.n)
+    return ResidentState(grid=rgrid, dyn=tuple(padded), side=side,
+                         dt=state.dt, time=state.time,
+                         last_visc_iters=state.last_visc_iters,
+                         last_pressure_iters=state.last_pressure_iters,
+                         diag=state.diag, n_liquid=state.n_liquid)
+
+
+def rebuild(cfg: SimConfig, rs: ResidentState) -> ResidentState:
+    """Full re-sort: compacts holes, resets bump pointers, and returns
+    side-buffer particles to the grid.  Same cost class as one non-resident
+    build+pack; taken by rebin_auto every cfg.resident_rebuild_every steps
+    or whenever the incremental mover budget would overflow."""
+    plan = make_plan(cfg, cfg.cell_capacity)
+    n_liquid = rs.n_liquid
+    pos, dyn_particle = materialize(rs.grid, rs.dyn, rs.side)
+    dyn_l = [d[..., :n_liquid] for d in dyn_particle]
+    rgrid = build_grid_padded(plan, pos, n_liquid, cfg)
+    padded = pack_many_padded(plan, rgrid, dyn_l)
+    side = park_unplaced(rgrid, pos, _stack_particle_dyn(dyn_l),
+                         rs.side.pid.shape[0])
+    rgrid = rgrid._replace(overflow=side.n)
+    return rs._replace(grid=rgrid, dyn=tuple(padded), side=side)
+
+
+def to_fluid(rs: ResidentState, proto, dyn_names: Sequence[str]):
+    """Materialize a full per-particle FluidState (export/checkpoint/tests);
+    fields outside ``dyn_names`` keep the prototype's values."""
+    pos, dyn_particle = materialize(rs.grid, rs.dyn, rs.side)
+    nl = proto.n_liquid
+    upd = {nm: d[..., :nl] for nm, d in zip(dyn_names, dyn_particle)}
+    return proto.replace(pos=pos, dt=rs.dt, time=rs.time,
+                         last_visc_iters=rs.last_visc_iters,
+                         last_pressure_iters=rs.last_pressure_iters,
+                         diag=rs.diag, **upd)
+
+
+class MoverScan(NamedTuple):
+    """Cheap per-step mover detection (runs BEFORE the incremental/full
+    branch decision in rebin_auto — only elementwise ops, one N-gather and
+    one reduction)."""
+
+    cell_new: jnp.ndarray   # (nflat,) destination cell per slot
+    inbox: jnp.ndarray      # (nflat,) in-domain mask
+    moved_p: jnp.ndarray    # (N,) particle-space "cell changed" mask
+    n_mov: jnp.ndarray      # () int32
+
+
+def detect_movers(plan, cfg: SimConfig, rgrid: ResidentGrid) -> MoverScan:
+    nflat = rgrid.pid.size
+    cell_new, inbox = cell_of_positions(rgrid.xp.reshape(3, nflat), cfg)
+    slot_cell, _ = _slot_cells(plan, cfg)
+    slot_cell = jnp.broadcast_to(slot_cell, rgrid.pid.shape).ravel()
+    valid = (rgrid.pid >= 0).ravel()
+    moved = valid & ((cell_new != slot_cell)
+                     | ~inbox) & rgrid.liquid.ravel()
+    in_grid = rgrid.slot >= 0
+    moved_p = moved[jnp.maximum(rgrid.slot, 0)] & in_grid
+    return MoverScan(cell_new=cell_new, inbox=inbox, moved_p=moved_p,
+                     n_mov=jnp.sum(moved_p).astype(jnp.int32))
+
+
+def rebin_auto(plan, cfg: SimConfig, rs: ResidentState, budget: int):
+    """The per-step binning maintainer: an incremental rebin while the
+    mover count fits the budget, else (or on the hole-compaction cadence) a
+    full re-sort — both branches of one `lax.cond`, so the spike response
+    (a dam break crossing a cell boundary in lock-step can move 30% of the
+    particles in ONE step while the steady rate is 2-8%) needs no host
+    round-trip and never stale-bins a particle.  Returns (grid, dyn, side).
+    """
+    scan = detect_movers(plan, cfg, rs.grid)
+    need_full = ((scan.n_mov > budget)
+                 | (rs.grid.since_rebuild + 1
+                    >= cfg.resident_rebuild_every))
+
+    def _full(_):
+        rs2 = rebuild(cfg, rs)
+        return rs2.grid, tuple(rs2.dyn), rs2.side
+
+    def _inc(_):
+        grid, dyn, side = rebin_incremental(plan, cfg, rs.grid, rs.dyn,
+                                            rs.side, budget, scan=scan)
+        grid = grid._replace(since_rebuild=rs.grid.since_rebuild + 1)
+        return grid, tuple(dyn), side
+
+    return jax.lax.cond(need_full, _full, _inc, None)
+
+
+def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
+                      dyn: Sequence, side: SideBuffer, budget: int,
+                      scan: MoverScan = None):
+    """Relocate the particles whose cell changed since placement.
+
+    Cost model at 1M (v5e measured primitives): one N-gather (~10 ms) +
+    N-cumsum + one N-scatter (~10 ms) for the mover compaction, then
+    everything is K-sized (budget = mover headroom << N).  Collision-
+    freedom: movers append at top[dest] + rank-in-sorted-run; vacated ranks
+    are < top everywhere, and top never decreases between full rebuilds, so
+    clears and sets touch disjoint slots.  Returns (grid', dyn', side')."""
+    C, P, PP, NX = plan.C, plan.P, plan.PP, plan.NX
+    nc = cfg.num_cells
+    n = rgrid.slot.shape[0]
+    nflat = NX * C * PP
+
+    if scan is None:
+        scan = detect_movers(plan, cfg, rgrid)
+    cell_new, inbox, moved_p = scan.cell_new, scan.inbox, scan.moved_p
+    csum = jnp.cumsum(moved_p.astype(jnp.int32))
+    kpos = csum - 1
+    write = jnp.where(moved_p & (kpos < budget), kpos, budget)
+    movers = jnp.full((budget,), -1, jnp.int32).at[write].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    n_mov = csum[-1]
+    lost = jnp.maximum(n_mov - budget, 0)       # stale-binned until rebuild
+
+    # --- mover data (K-sized from here on; per-field gathers — a stacked
+    # source would cost a full concat copy of every resident array) ---
+    mvalid = movers >= 0
+    mpid = jnp.maximum(movers, 0)
+    old_slot = jnp.where(mvalid, rgrid.slot[mpid], nflat)
+    os_c = jnp.minimum(old_slot, nflat - 1)
+    dest = jnp.where(mvalid & inbox[os_c], cell_new[os_c], nc)
+    mparts = [rgrid.xp.reshape(3, nflat)[:, os_c]]
+    mparts += [d.reshape(-1, nflat)[:, os_c] for d in dyn]
+    mdata = jnp.concatenate(mparts, axis=0)      # (3 + D, K) — K-sized only
+
+    # --- rank movers within their destination cell (K-sort) ---
+    order = jnp.argsort(jnp.where(mvalid, dest, nc + 1))
+    sdest = dest[order]
+    kio = jnp.arange(budget, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.ones((1,), bool),
+                              sdest[1:] != sdest[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, kio, 0))
+    rrank = kio - run_start
+    s_ok = mvalid[order] & (sdest < nc)
+    dc = jnp.minimum(sdest, nc - 1)
+    new_rank = jnp.where(s_ok, rgrid.top[dc] + rrank, C)
+    placed = s_ok & (new_rank < C)
+    new_slot = jnp.where(
+        placed, _flat_slot(plan, dc // P, new_rank, dc - (dc // P) * P),
+        nflat)
+    s_pid = jnp.where(mvalid[order], mpid[order], n)
+    s_old = old_slot[order]
+    s_data = mdata[:, order]
+
+    # --- apply (disjoint clears and sets; see docstring).  Multi-component
+    # fields get ONE flat scalar-index scatter over the whole buffer
+    # (idx + c * nflat): a per-component scatter-then-stack would copy the
+    # full resident array once per component. ---
+    def _multi(idx, k):
+        # idx == nflat marks "drop"; keep it out of range for EVERY comp
+        return jnp.concatenate([
+            jnp.where(idx < nflat, idx + c * nflat, k * nflat)
+            for c in range(k)])
+
+    def _vals(o, k):
+        return jnp.concatenate([s_data[o + c] for c in range(k)])
+
+    # s_pid == n only where new_slot == nflat, so both writes drop together
+    pid_f = (rgrid.pid.ravel().at[s_old].set(-1, mode="drop")
+             .at[new_slot].set(s_pid, mode="drop"))
+    liq_f = (rgrid.liquid.ravel().at[s_old].set(False, mode="drop")
+             .at[new_slot].set(True, mode="drop"))
+    xp_f = (rgrid.xp.reshape(3 * nflat)
+            .at[_multi(s_old, 3)].set(EMPTY_POS, mode="drop")
+            .at[_multi(new_slot, 3)].set(_vals(0, 3), mode="drop"))
+    dyn_out, o = [], 3
+    for d in dyn:
+        k = d.shape[0] if d.ndim == 4 else 1
+        nd = d.reshape(k * nflat).at[_multi(new_slot, k)].set(
+            _vals(o, k), mode="drop")
+        dyn_out.append(nd.reshape(d.shape))
+        o += k
+    # bump pointers: one write per destination-cell RUN (unique indices; a
+    # duplicate-index scatter-add serializes on TPU).  The full run length
+    # is added even if the tail failed to place — the cell is full, so
+    # locking out further inserts until the rebuild is correct.
+    is_last_run = jnp.concatenate([sdest[1:] != sdest[:-1],
+                                   jnp.ones((1,), bool)])
+    top = rgrid.top.at[
+        jnp.where(is_last_run & s_ok, dc, nc)].add(rrank + 1, mode="drop")
+    slot = rgrid.slot.at[s_pid].set(
+        jnp.where(placed, new_slot, -1), mode="drop")
+
+    # --- failures (cell full / out of box) park in the side buffer ---
+    fail = mvalid[order] & ~placed
+    S = side.pid.shape[0]
+    fpos = side.n + jnp.cumsum(fail.astype(jnp.int32)) - 1
+    w = jnp.where(fail & (fpos < S), fpos, S)
+    side_pid = side.pid.at[w].set(s_pid, mode="drop")
+    side_pos = jnp.stack([side.pos[c].at[w].set(s_data[c], mode="drop")
+                          for c in range(3)])
+    side_dyn = jnp.stack([
+        side.dyn[i].at[w].set(s_data[3 + i], mode="drop")
+        for i in range(side.dyn.shape[0])])
+    n_fail = jnp.sum(fail).astype(jnp.int32)
+    spill = jnp.maximum(side.n + n_fail - S, 0)  # lost outright
+    side_n = jnp.minimum(side.n + n_fail, S)
+
+    grid = ResidentGrid(
+        pid=pid_f.reshape(rgrid.pid.shape),
+        liquid=liq_f.reshape(rgrid.liquid.shape),
+        xp=xp_f.reshape(rgrid.xp.shape),
+        slot=slot, top=top,
+        overflow=side_n,
+        rebin_lost=rgrid.rebin_lost + lost + spill,
+        since_rebuild=rgrid.since_rebuild)
+    return grid, dyn_out, SideBuffer(pos=side_pos, dyn=side_dyn,
+                                     pid=side_pid, n=side_n)
+
+
+def begin_step(cfg: SimConfig, rs: ResidentState):
+    """Shared head of every resident solver step: rebin (incremental, or a
+    full re-sort on mover-spike/cadence — rebin_auto), then an engine +
+    communicator over the relocated padded grid.  Returns
+    (grid, dyn, side, comm)."""
+    from .pallas.engine import PaddedEngine
+    from .parallel.comm import PaddedNoComm
+
+    plan = make_plan(cfg, cfg.cell_capacity)
+    n = rs.grid.slot.shape[0]
+    budget = max(1024, int(n * cfg.resident_mover_frac))
+    grid, dyn, side = rebin_auto(plan, cfg, rs, budget)
+    eng = PaddedEngine.from_resident(grid, cfg)
+    comm = PaddedNoComm(grid, cfg, engine=eng)
+    return grid, dyn, side, comm
+
+
+def advance(rs: ResidentState, grid: ResidentGrid, side: SideBuffer,
+            dyn_new: Sequence, new_dt, diag,
+            visc_iters=None, pressure_iters=None) -> ResidentState:
+    """Shared tail: position update in the padded layout (liquid slots move
+    by dyn_new[0] — the convention is RESIDENT_FIELDS[0] == "vel"), side
+    particles keep drifting, every dyn field stored LIQUID-MASKED (the
+    resident twin of the zeros pack_liquid writes at solid slots — solver
+    middles may leave pollution there that the non-resident unpack/pack
+    cycle would discard)."""
+    liq = grid.liquid
+    masked = tuple(jnp.where(liq if d.ndim == liq.ndim else liq[None],
+                             d, 0.0) for d in dyn_new)
+    xp = grid.xp + jnp.where(liq[None], masked[0] * new_dt, 0.0)
+    return ResidentState(
+        grid=grid._replace(xp=xp),
+        dyn=masked,
+        side=side._replace(pos=side.pos + side.dyn[0:3] * new_dt),
+        dt=new_dt,
+        time=rs.time + new_dt,
+        last_visc_iters=(rs.last_visc_iters if visc_iters is None
+                         else visc_iters),
+        last_pressure_iters=(rs.last_pressure_iters if pressure_iters is None
+                             else pressure_iters),
+        diag=diag, n_liquid=rs.n_liquid)
+
+
+def materialize(rgrid: ResidentGrid, dyn: Sequence, side: SideBuffer):
+    """Per-particle (3, N) pos + per-field dyn arrays: one stacked gather
+    via slot, then the side-buffer overlay (invariant: slot == -1 iff the
+    particle is parked in the side buffer, so every particle has exactly
+    one data source).  Returns (pos, [dyn_fields...])."""
+    nflat = rgrid.pid.size
+    sidx = jnp.maximum(rgrid.slot, 0)
+    stacked = jnp.concatenate(
+        [rgrid.xp.reshape(3, nflat)] + [d.reshape(-1, nflat) for d in dyn],
+        axis=0)
+    got = stacked[:, sidx]                       # (3 + D, N)
+    n = got.shape[1]
+    spid = jnp.where(side.pid >= 0, side.pid, n)
+    sdata = jnp.concatenate([side.pos, side.dyn], axis=0)
+    got = got.at[:, spid].set(sdata, mode="drop")
+    pos = got[:3]
+    out, o = [], 3
+    for d in dyn:
+        k = d.shape[0] if d.ndim == 4 else 1
+        sl = got[o:o + k]
+        out.append(sl if d.ndim == 4 else sl[0])
+        o += k
+    return pos, out

@@ -47,6 +47,23 @@ def _step_jit(state: FluidState, step_fn: Callable, cfg: SimConfig) -> FluidStat
     return step_fn(state, cfg)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _res_init_jit(state, cfg, dyn_names):
+    from . import resident
+    return resident.from_fluid(cfg, state, dyn_names)
+
+
+@partial(jax.jit, static_argnums=(1, 2), donate_argnums=0)
+def _res_step_jit(rs, step_fn: Callable, cfg: SimConfig):
+    return step_fn(rs, cfg)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _res_materialize_jit(rs, proto, dyn_names):
+    from . import resident
+    return resident.to_fluid(rs, proto, dyn_names)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=0)
 def _rollout_jit(state: FluidState, step_fn: Callable, cfg: SimConfig,
                  n_steps: int) -> FluidState:
@@ -66,18 +83,55 @@ class Simulation:
         self.solver_name = solver
         self._solver = get_solver(solver)
         self._step_fn = self._solver.step
-        self.state: FluidState = (init_fn or init_state)(scene, cfg)
+        state = (init_fn or init_state)(scene, cfg)
         if hasattr(self._solver, "prepare"):
-            self.state = self._solver.prepare(self.state, cfg)
-        self.state = self.state.replace(dt=jax.numpy.float32(cfg.dt_init))
+            state = self._solver.prepare(state, cfg)
+        state = state.replace(dt=jax.numpy.float32(cfg.dt_init))
+
+        # Resident mode (resident.py): the particle system lives in the
+        # padded engine layout; per-particle FluidState views materialize
+        # lazily on access.  Rebuild cadence + mover-spike fallback are
+        # decided ON DEVICE (resident.rebin_auto) — no host logic.
+        self._resident = (cfg.resident and cfg.use_pallas
+                          and hasattr(self._solver, "step_resident"))
+        self._state = state
+        self._state_stale = False
+        if self._resident:
+            self._dyn_names = self._solver.RESIDENT_FIELDS
+            self._rs = _res_init_jit(state, cfg, self._dyn_names)
+
+    @property
+    def state(self) -> FluidState:
+        if self._resident and self._state_stale:
+            self._state = _res_materialize_jit(self._rs, self._state,
+                                               self._dyn_names)
+            self._state_stale = False
+        return self._state
+
+    @state.setter
+    def state(self, value: FluidState):
+        self._state = value
+        self._state_stale = False
+        if self._resident:
+            self._rs = _res_init_jit(value, self.cfg, self._dyn_names)
 
     def step(self) -> FluidState:
-        self.state = _step_jit(self.state, self._step_fn, self.cfg)
-        return self.state
+        if self._resident:
+            self._rs = _res_step_jit(self._rs, self._solver.step_resident,
+                                     self.cfg)
+            self._state_stale = True
+            return None
+        self._state = _step_jit(self._state, self._step_fn, self.cfg)
+        return self._state
 
     def run(self, n_steps: int) -> FluidState:
-        self.state = _rollout_jit(self.state, self._step_fn, self.cfg, n_steps)
-        return self.state
+        if self._resident:
+            for _ in range(n_steps):
+                self.step()
+            return self.state
+        self._state = _rollout_jit(self._state, self._step_fn, self.cfg,
+                                   n_steps)
+        return self._state
 
     # ---- host-side views (state is planar (3, n); host API is (n, 3)) ----
     def positions(self) -> np.ndarray:
@@ -88,9 +142,13 @@ class Simulation:
 
     def telemetry(self) -> dict:
         # one batched device->host transfer (8 scalar pulls would each pay
-        # the full tunnel latency on the remote TPU platform)
-        d = self.state.diag
-        vals = jax.device_get((self.state.time, self.state.dt,
+        # the full tunnel latency on the remote TPU platform); in resident
+        # mode the scalars come straight off the resident state — no
+        # materialization of the per-particle arrays
+        src = (self._rs if (self._resident and self._state_stale)
+               else self._state)
+        d = src.diag
+        vals = jax.device_get((src.time, src.dt,
                                d.divergence_iters, d.pressure_iters,
                                d.viscosity_iters, d.density_error,
                                d.density_error_pre,

@@ -273,6 +273,35 @@ def step_middle(comm, cfg: SimConfig, velp, omegap, vgp, kp, kvp, dt,
                      vmax_sq=vmax_sq)
 
 
+# Resident-mode dynamic fields, in step_middle argument order.
+RESIDENT_FIELDS = ("vel", "omega", "vel_guess", "kappa", "kappa_v")
+
+
+def step_resident(rs, cfg: SimConfig):
+    """One DFSPH step on the resident padded state (resident.py): an
+    incremental rebin replaces the full sort/pack rebuild, the middle is the
+    SAME comm-parameterized step_middle, and the position update happens in
+    the padded layout — no per-particle array is touched anywhere."""
+    from .. import resident
+
+    grid, dyn, side, comm = resident.begin_step(cfg, rs)
+    mid = step_middle(comm, cfg, *dyn, rs.dt, rs.last_pressure_iters)
+    diag = StepDiagnostics(
+        divergence_iters=mid.div_iters,
+        pressure_iters=mid.pr_iters,
+        viscosity_iters=mid.visc_iters,
+        density_error=mid.err,
+        density_error_pre=mid.err_pre,
+        neighbor_overflow=grid.overflow + grid.rebin_lost,
+        vel_max=jnp.sqrt(mid.vmax_sq),
+    )
+    return resident.advance(
+        rs, grid, side,
+        (mid.vel, mid.omega, mid.vel_guess, mid.kappa, mid.kappa_v),
+        mid.new_dt, diag, visc_iters=mid.visc_iters,
+        pressure_iters=mid.pr_iters)
+
+
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     grid = build_grid(state.pos, nl, cfg)

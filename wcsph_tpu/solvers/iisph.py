@@ -308,6 +308,33 @@ def step_middle(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
                      err_pre=err_pre)
 
 
+# Resident-mode dynamic fields; [0] must be "vel" (resident.advance moves
+# positions by it).  pressure feeds the next step's Jacobi warm start
+# (p_pre semantics, iisph.py:318), vel_guess the viscosity warm start.
+RESIDENT_FIELDS = ("vel", "vel_guess", "pressure")
+
+
+def step_resident(rs, cfg: SimConfig):
+    """One IISPH step on the resident padded state (resident.py)."""
+    from .. import resident
+
+    grid, dyn, side, comm = resident.begin_step(cfg, rs)
+    mid = step_middle(comm, cfg, *dyn, rs.dt)
+    diag = StepDiagnostics(
+        pressure_iters=mid.iters,
+        viscosity_iters=mid.visc_iters,
+        density_error=mid.err,
+        density_error_pre=mid.err_pre,
+        neighbor_overflow=grid.overflow + grid.rebin_lost,
+        vel_max=jnp.sqrt(jnp.maximum(
+            comm.lmax(jnp.sum(mid.vel * mid.vel, axis=0)), 0.0)),
+    )
+    return resident.advance(rs, grid, side,
+                            (mid.vel, mid.delta_v, mid.pressure),
+                            rs.dt, diag, visc_iters=mid.visc_iters,
+                            pressure_iters=mid.iters)
+
+
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt

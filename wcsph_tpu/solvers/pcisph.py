@@ -190,6 +190,31 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
                      err_pre=err_pre)
 
 
+# Resident-mode dynamic fields; [0] must be "vel" (resident.advance moves
+# positions by it).  pressure is output-only (the prediction loop restarts
+# it from zero every step, pcisph.py:223).
+RESIDENT_FIELDS = ("vel", "pressure")
+
+
+def step_resident(rs, cfg: SimConfig):
+    """One PCISPH step on the resident padded state (resident.py)."""
+    from .. import resident
+
+    grid, dyn, side, comm = resident.begin_step(cfg, rs)
+    velp, _ = dyn
+    mid = step_middle(comm, cfg, velp, rs.dt)
+    diag = StepDiagnostics(
+        pressure_iters=mid.iters,
+        density_error=mid.err,
+        density_error_pre=mid.err_pre,
+        neighbor_overflow=grid.overflow + grid.rebin_lost,
+        vel_max=jnp.sqrt(jnp.maximum(
+            comm.lmax(jnp.sum(mid.vel * mid.vel, axis=0)), 0.0)),
+    )
+    return resident.advance(rs, grid, side, (mid.vel, mid.pressure),
+                            rs.dt, diag, pressure_iters=mid.iters)
+
+
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt

@@ -53,6 +53,28 @@ def step_middle(comm, cfg: SimConfig, velp, dt):
     return velp + d_vel * dt, rhop, pp                  # sesph.py:191-196
 
 
+# Resident-mode dynamic fields; [0] must be "vel" (resident.advance moves
+# positions by it).  pressure rides along as an output-only field.
+RESIDENT_FIELDS = ("vel", "pressure")
+
+
+def step_resident(rs, cfg: SimConfig):
+    """One SESPH step on the resident padded state (resident.py)."""
+    from .. import resident
+
+    grid, dyn, side, comm = resident.begin_step(cfg, rs)
+    velp, _ = dyn                       # middle recomputes pressure from EOS
+    vel_new, rhop, pp = step_middle(comm, cfg, velp, rs.dt)
+    diag = StepDiagnostics(
+        density_error=comm.lsum(rhop) / comm.n_liquid()
+        / cfg.rest_density - 1.0,
+        neighbor_overflow=grid.overflow + grid.rebin_lost,
+        vel_max=jnp.sqrt(jnp.maximum(
+            comm.lmax(jnp.sum(vel_new * vel_new, axis=0)), 0.0)),
+    )
+    return resident.advance(rs, grid, side, (vel_new, pp), rs.dt, diag)
+
+
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
