@@ -19,7 +19,8 @@ import numpy as np
 # 100k particles, 2.2-2.5e6 at 1M (see CLAUDE.md perf history).
 
 
-def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True):
+def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True,
+              aot_dir: str = ""):
     from wcsph_tpu import dam_break
     from wcsph_tpu.simulation import Simulation, default_config
 
@@ -36,13 +37,13 @@ def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True):
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
                          cell_capacity=24 if use_pallas else 16,
-                         resident=resident)
+                         resident=resident, aot_dir=aot_dir)
     return Simulation(sc, cfg, solver=solver)
 
 
 def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
-               resident: bool = True):
-    sim = build_sim(n_side, solver, resident=resident)
+               resident: bool = True, aot_dir: str = ""):
+    sim = build_sim(n_side, solver, resident=resident, aot_dir=aot_dir)
     # resident mode: the rebuild branch compiles into the same step program
     # (resident.rebin_auto lax.cond), so the default warmup covers it; the
     # measured window contains cadenced rebuilds — their amortized runtime
@@ -88,6 +89,11 @@ def main():
                     choices=["sesph", "pcisph", "iisph", "dfsph"])
     ap.add_argument("--no-resident", action="store_true",
                     help="disable the resident packed state (resident.py)")
+    ap.add_argument("--aot", default="",
+                    help="AOT executable cache dir (utils/aot.py): first run "
+                         "compiles + serializes the step executable; a rerun "
+                         "('restart') deserializes in seconds instead of "
+                         "re-compiling. e.g. --aot /tmp/wcsph_aot")
     args = ap.parse_args()
 
     import jax
@@ -103,7 +109,8 @@ def main():
         try:
             throughput, nl, tel = bench_once(side, args.warmup, args.steps,
                                              args.solver,
-                                             resident=not args.no_resident)
+                                             resident=not args.no_resident,
+                                             aot_dir=args.aot)
             label = "1M" if nl >= 900_000 else ("100k" if nl >= 90_000 else str(nl))
             result = {
                 "metric": f"{args.solver}_particle_steps_per_sec_{label}",

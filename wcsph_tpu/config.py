@@ -132,6 +132,12 @@ class SimConfig:
     # Side-buffer capacity (dropped particles keeping state) as fraction of N.
     resident_side_frac: float = 0.02
 
+    # AOT executable cache directory (utils/aot.py).  When set, Simulation
+    # serializes the compiled step executable keyed on (config, shapes,
+    # backend, jax version): a production restart deserializes in seconds
+    # instead of re-trace/lower/compile minutes.  "" disables.
+    aot_dir: str = ""
+
     # Pair-math dtype for the XLA window sweeps ("float32" | "bfloat16").
     # bfloat16 halves the HBM traffic of the (C, C, NC) pair temporaries —
     # the bottleneck of the XLA path at 1M particles — at ~0.4% relative
