@@ -1,9 +1,10 @@
-"""Dev perf: count executed-op (thunk) instructions in the compiled resident
-step.  On the remote-TPU (axon) platform each device op launch carries a
-fixed gap (~0.1-0.2 ms measured in traces), so wall - device_total scales
-with the number of ops EXECUTED per step — loop bodies count once per
-iteration.  Usage:
-    python scripts/hlo_count.py [side] [solver]
+"""Dev perf: compiled-HLO op census of the resident step.  On the
+remote-TPU (axon) platform every executed thunk pays a launch/tunnel gap
+(trace at 1M: 176 ms of a 426 ms wall), so the census prints (a) instruction
+counts per computation (loop bodies execute once per iteration), (b) the
+largest non-fusion data-movement ops (transpose/copy/reshape/scatter/gather)
+with shapes — the glue-op kill list.
+Usage: python scripts/hlo_count.py [side] [solver]
 """
 import collections
 import os
@@ -13,7 +14,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -31,46 +31,49 @@ cfg = default_config(solver, particle_radius=r, domain_min=lo, domain_max=hi,
                      use_pallas=True, cell_capacity=24, resident=True)
 sim = Simulation(sc, cfg, solver=solver)
 step_fn = sim._solver.step_resident
-lowered = jax.jit(lambda rs: step_fn(rs, cfg)).lower(sim._rs)
-compiled = lowered.compile()
-txt = compiled.as_text()
+txt = (jax.jit(lambda rs: step_fn(rs, cfg)).lower(sim._rs).compile()
+       .as_text())
 
-# Parse optimized HLO: instructions per computation, flag fusions/custom
-# calls/scatters/gathers (each ≈ one thunk); elementwise ops inside a fusion
-# are free.  Loop-body computations execute once per iteration.
+
+def shape_bytes(s):
+    m = re.match(r"(f32|s32|u32|pred|bf16|s8|u8|f16|s64)\[([\d,]*)\]", s)
+    if not m:
+        return 0
+    elems = 1
+    for d in m.group(2).split(","):
+        if d:
+            elems *= int(d)
+    unit = {"f32": 4, "s32": 4, "u32": 4, "s64": 8, "bf16": 2, "f16": 2,
+            "pred": 1, "s8": 1, "u8": 1}[m.group(1)]
+    return elems * unit
+
+
 comp = None
-counts = collections.Counter()           # (computation, opkind) -> count
-comp_insts = collections.Counter()       # computation -> thunk-ish ops
-THUNK_OPS = ("fusion", "custom-call", "scatter", "gather", "sort", "copy",
-             "while", "conditional", "all-reduce", "dynamic-slice",
-             "dynamic-update-slice", "reduce", "transpose", "convert",
-             "broadcast", "iota", "bitcast", "concatenate", "slice", "pad",
-             "reshape", "dot", "convolution", "rng", "select-and-scatter")
+comp_insts = collections.Counter()
+big = []
+KINDS = ("transpose", "copy", "reshape", "scatter", "gather", "concatenate",
+         "pad", "slice", "dynamic-slice", "dynamic-update-slice", "sort",
+         "add", "select", "broadcast", "reduce", "iota", "custom-call")
 for line in txt.splitlines():
-    m = re.match(r"^(%?[\w\.\-]+)\s*(\([^)]*\))?\s*(->|\{)", line)
-    if line.startswith(("ENTRY", "%")) and "{" in line and "=" not in line:
-        name = line.split()[0 if not line.startswith("ENTRY") else 1]
-        comp = name.lstrip("%")
-        continue
     ls = line.strip()
-    m2 = re.match(r"^(ROOT\s+)?%?[\w\.\-]+\s*=\s*\S+\s+([a-z][\w\-]*)\(", ls)
-    if m2 and comp:
-        kind = m2.group(2)
-        counts[(comp, kind)] += 1
+    if (line.startswith(("ENTRY", "%")) or ls.startswith("%")) \
+            and "{" in line and "=" not in line.split("{")[0]:
+        comp = line.split()[1 if line.startswith("ENTRY") else 0].lstrip("%")
+        continue
+    m = re.match(r"^(ROOT\s+)?%?[\w\.\-]+\s*=\s*(\([^=]*\)|\S+)\s+"
+                 r"([a-z][\w\-]*)\(", ls)
+    if m and comp:
+        kind = m.group(3)
         comp_insts[comp] += 1
+        if kind in KINDS or kind == "fusion":
+            b = shape_bytes(m.group(2).lstrip("("))
+            big.append((b, kind, comp, ls[:140]))
 
-entry = [c for c in comp_insts if "main" in c or "entry" in c.lower()]
-print(f"computations: {len(comp_insts)}  (side={side} solver={solver})")
-top = sorted(comp_insts.items(), key=lambda kv: -kv[1])[:25]
-for c, n in top:
-    kinds = collections.Counter(
-        {k: v for (cc, k), v in counts.items() if cc == c})
-    hot = ", ".join(f"{k}:{v}" for k, v in kinds.most_common(6))
-    print(f"{n:6d}  {c[:60]:60s} {hot}")
+print(f"computations: {len(comp_insts)}")
+for c, n in sorted(comp_insts.items(), key=lambda kv: -kv[1])[:20]:
+    print(f"{n:6d}  {c[:80]}")
+print(f"total instructions: {sum(comp_insts.values())}")
 
-tot = sum(comp_insts.values())
-kind_tot = collections.Counter()
-for (c, k), v in counts.items():
-    kind_tot[k] += v
-print(f"\ntotal instructions (all computations): {tot}")
-print("by kind:", dict(kind_tot.most_common(20)))
+print("\nlargest data-movement / fusion ops (output bytes):")
+for b, kind, c, l in sorted(big, key=lambda t: -t[0])[:40]:
+    print(f"{b/1e6:9.1f} MB  {kind:12s} [{c[:36]:36s}] {l[:95]}")

@@ -435,23 +435,38 @@ def _active_masks_sym(plan: _Plan, ca: jnp.ndarray, cl: jnp.ndarray):
 
 def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
                      emit, interpret: bool):
-    """Half-window pallas_call: every +-offset pair is evaluated ONCE; the
-    home contribution accumulates in output row 0 (own plane) and the mirror
-    contribution in row dx at the neighbor's lane window.  The caller folds
-    the (gx, nq, 2, n_out, C, Wq) output with _fold_sym.  DMAs only 2 plane
-    rows per program (own + next) instead of 3."""
+    """Half-window pallas_call: every +-offset pair is evaluated ONCE, with
+    three outputs chosen so the XLA fold is cheap (the v2 single windowed
+    output cost ~4 full passes over 2.8x the slot count per sweep — the
+    dominant glue in the round-3 HLO census):
+
+      A  (n_out, gx, C, nq*Q)       own-plane interior, FINAL plane-major
+                                    layout (home emits + the dx=0 mirror
+                                    lanes that stay inside the chunk);
+      A1 (n_out, gx, C, nq*Q)       next-plane interior (dx=1 mirrors);
+      B  (n_out, gx, nq, 2, C, 2M)  the margin slivers that cross a chunk
+                                    boundary (<= M lanes per side).
+
+    Mirror emits target window lanes [lin, lin+Q); the static split into
+    interior/sliver happens at trace time per offset.  The fold is then one
+    plane-shifted add plus a margins pass over B (~5% of the slots)."""
     C, NRB, Q, Wq, nq = plan.C, plan.NRB, plan.Q, plan.Wq, plan.nq
     gz = plan.gz
+    M = _MARGIN
 
     def kernel(nz_ref, act_ref, *refs):
         ins = refs[:n_fields]
-        out_ref = refs[n_fields]
-        bufs = refs[n_fields + 1:n_fields + 1 + n_fields]
+        out_a = refs[n_fields]
+        out_a1 = refs[n_fields + 1]
+        out_b = refs[n_fields + 2]
+        bufs = refs[n_fields + 3:n_fields + 3 + n_fields]
         sem = refs[-1]
         px = pl.program_id(0)
         q = pl.program_id(1)
 
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        out_a[...] = jnp.zeros(out_a.shape, out_a.dtype)
+        out_a1[...] = jnp.zeros(out_a1.shape, out_a1.dtype)
+        out_b[...] = jnp.zeros(out_b.shape, out_b.dtype)
 
         @pl.when(nz_ref[px, q] != 0)
         def _():
@@ -474,12 +489,14 @@ def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
             oid = 0
             for (dy, dz), dxs in _sym_offsets():
                 lin = _MARGIN + dy * gz + dz
+                delta = dy * gz + dz            # mirror shift vs interior
                 for dx in dxs:
                     is_zero = (dx, dy, dz) == (0, 0, 0)
                     m = act_ref[px, q, oid]
                     oid += 1
 
-                    def offset_block(m=m, dx=dx, lin=lin, is_zero=is_zero):
+                    def offset_block(m=m, dx=dx, lin=lin, delta=delta,
+                                     is_zero=is_zero):
                         @pl.when(m != 0)
                         def _():
                             def rb_body(rbi, _):
@@ -511,16 +528,33 @@ def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
                                                   h=emit.h)
                                     hvals, mvals = emit.sym(ctx)
                                     for ch, val in enumerate(hvals):
-                                        cur = out_ref[ch, 0, 0, 0, hs,
-                                                      _MARGIN:_MARGIN + Q]
-                                        out_ref[ch, 0, 0, 0, hs,
-                                                _MARGIN:_MARGIN + Q] = cur + val
+                                        cur = out_a[ch, 0, hs, :]
+                                        out_a[ch, 0, hs, :] = cur + val
                                     if not is_zero:
+                                        tgt = out_a if dx == 0 else out_a1
                                         for ch, val in enumerate(mvals):
-                                            cur = out_ref[ch, 0, 0, dx, ns,
-                                                          lin:lin + Q]
-                                            out_ref[ch, 0, 0, dx, ns,
-                                                    lin:lin + Q] = cur + val
+                                            if delta <= 0:
+                                                cur = tgt[ch, 0, ns,
+                                                          0:Q + delta]
+                                                tgt[ch, 0, ns, 0:Q + delta] \
+                                                    = cur + val[:, -delta:]
+                                                if delta < 0:
+                                                    cb = out_b[ch, 0, 0, dx,
+                                                               ns,
+                                                               M + delta:M]
+                                                    out_b[ch, 0, 0, dx, ns,
+                                                          M + delta:M] \
+                                                        = cb + val[:, :-delta]
+                                            else:
+                                                cur = tgt[ch, 0, ns,
+                                                          delta:Q]
+                                                tgt[ch, 0, ns, delta:Q] \
+                                                    = cur + val[:, :Q - delta]
+                                                cb = out_b[ch, 0, 0, dx, ns,
+                                                           M:M + delta]
+                                                out_b[ch, 0, 0, dx, ns,
+                                                      M:M + delta] \
+                                                    = cb + val[:, Q - delta:]
                                 return 0
 
                             jax.lax.fori_loop(0, NRB * NRB, rb_body, 0,
@@ -536,49 +570,55 @@ def _build_sweep_sym(plan: _Plan, n_fields: int, field_comps, n_out: int,
         num_scalar_prefetch=2,
         grid=(plan.gx, nq),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_fields,
-        out_specs=pl.BlockSpec((n_out, 1, 1, 2, C, Wq),
-                               lambda px, q, *_: (0, px, q, 0, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((n_out, 1, C, Q), lambda px, q, *_: (0, px, 0, q)),
+            pl.BlockSpec((n_out, 1, C, Q), lambda px, q, *_: (0, px, 0, q)),
+            pl.BlockSpec((n_out, 1, 1, 2, C, 2 * M),
+                         lambda px, q, *_: (0, px, q, 0, 0, 0)),
+        ],
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, plan.gx, nq, 2, C, Wq),
-                                       jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_out, plan.gx, C, nq * Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, plan.gx, C, nq * Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, plan.gx, nq, 2, C, 2 * M),
+                                 jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )
 
 
-def _fold_sym_tot(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
-    """Overlap-add the half-window output: chunks within a plane overlap in
-    their lane margins; row 1 carries contributions to the NEXT plane.
-    (n_out, gx, nq, 2, C, Wq) -> plane-major (n_out, gx, C, nq*Q).
-
-    Margins always land in NEIGHBOR-chunk interiors (M < Q), so the fold is
-    pure slice/concat/add — .at[].add on static slices lowers to scatter-add
-    on TPU (~8 ms per call at 1M), which this formulation avoids."""
-    nout, gx, nq, _, C, Wq = out.shape
+def _fold_sym_tot(plan: _Plan, outs) -> jnp.ndarray:
+    """Overlap-add the half-window triple output (A own-plane interior,
+    A1 next-plane interior, B margin slivers) -> plane-major
+    (n_out, gx, C, nq*Q).  The interiors are already in the final layout
+    (no transpose, no window slicing); only B — ~2M/Q of the slots — needs
+    the chunk-boundary shift, and its pads+adds fuse with the plane add
+    into one full pass."""
+    A, A1, B = outs
     Q, M = plan.Q, _MARGIN
-    interior = out[..., M:M + Q]                 # (nout, gx, nq, 2, C, Q)
-    lm = out[..., :M]                            # -> tail of chunk q-1
-    rm = out[..., M + Q:]                        # -> head of chunk q+1
-    tail_add = jnp.concatenate([lm[:, :, 1:], jnp.zeros_like(lm[:, :, :1])],
-                               axis=2)
-    head_add = jnp.concatenate([jnp.zeros_like(rm[:, :, :1]), rm[:, :, :-1]],
-                               axis=2)
-    # place the neighbor margins inside the Q-frame ([0,M) and [Q-M,Q));
-    # M <= Q always, so a margin never spans more than one neighbor chunk
-    zpad = [(0, 0)] * (out.ndim - 1)
-    chunks = (interior
-              + jnp.pad(head_add, zpad + [(0, Q - M)])
-              + jnp.pad(tail_add, zpad + [(Q - M, 0)]))
-    per_plane = jnp.moveaxis(chunks, 2, -2).reshape(
-        nout, gx, 2, C, nq * Q)
-    own, nxt = per_plane[:, :, 0], per_plane[:, :, 1]
-    return own + jnp.concatenate(
-        [jnp.zeros_like(nxt[:, :1]), nxt[:, :-1]], axis=1)
+    nout, gx, C, L = A.shape
+    nq = plan.nq
+    core = A + jnp.concatenate([jnp.zeros_like(A1[:, :1]), A1[:, :-1]],
+                               axis=1)
+    own, nxt = B[:, :, :, 0], B[:, :, :, 1]          # (nout, gx, nq, C, 2M)
+    m = own + jnp.concatenate([jnp.zeros_like(nxt[:, :1]), nxt[:, :-1]],
+                              axis=1)
+    mt = jnp.moveaxis(m, 2, 3)                       # (nout, gx, C, nq, 2M)
+    # rm of chunk q -> head of chunk q+1; lm of chunk q -> tail of chunk q-1
+    rm = jnp.concatenate([jnp.zeros_like(mt[..., :1, M:]),
+                          mt[..., :-1, M:]], axis=3)
+    lm = jnp.concatenate([mt[..., 1:, :M],
+                          jnp.zeros_like(mt[..., :1, :M])], axis=3)
+    zpad = [(0, 0)] * 4
+    frame = (jnp.pad(rm, zpad + [(0, Q - M)])
+             + jnp.pad(lm, zpad + [(Q - M, 0)]))     # (nout, gx, C, nq, Q)
+    return core + frame.reshape(nout, gx, C, L)
 
 
 def _fold_sym(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
