@@ -15,8 +15,9 @@ import time
 
 import numpy as np
 
-# Measured on one TPU v5e chip (see git history): 9.2e5 particle-steps/s at
-# 100k particles, 2.2-2.5e6 at 1M (see CLAUDE.md perf history).
+# Measured on one TPU v5e chip (see CLAUDE.md perf history): 3.3-3.5e6
+# particle-steps/s at 100k, 2.8e6 at 1M (resident packed state + sym sweep
+# v3 interior/margin outputs).
 
 
 def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True,

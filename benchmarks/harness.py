@@ -45,9 +45,13 @@ def _build(solver: str, scene: str, side: int = 20, use_pallas: bool = False):
     r = 0.025
     spacing = 2 * r
     over = {}
-    if scene == "canonical":
+    if scene in ("canonical", "tension"):
         sc = dam_break(particle_radius=r, fluid_dims=(side, side, side),
                        box_extent=max(2.0, side * spacing * 1.35))
+        if scene == "tension":
+            # surface tension + boundary adhesion on (reference BASELINE
+            # configs 3/5; engine ops _TensionAccel/_SurfaceNormals)
+            over = dict(tension_coff=0.5, tension_coff_b=0.25)
     elif scene == "violent":
         # tall thin column dropped from the top of the box: the impact keeps
         # the density error above tolerance for several iterations per step.
@@ -69,7 +73,8 @@ def _build(solver: str, scene: str, side: int = 20, use_pallas: bool = False):
     lo, hi = sc.domain(pad=6 * r)
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
-                         cell_capacity=24 if use_pallas else 16, **over)
+                         cell_capacity=24 if use_pallas else 16,
+                         resident=use_pallas, **over)
     return Simulation(sc, cfg, solver=solver)
 
 

@@ -1,0 +1,127 @@
+"""Slab-OWNED particle decomposition (parallel/slab.py): per-slab binning +
+ppermute migration on the 8-virtual-device CPU mesh, vs the single-device
+step.  Unlike the halo middles (test_parallel.py), NOTHING global-packed
+runs outside shard_map here — binning order differs per slab, so the
+comparison is allclose, not exact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wcsph_tpu import scene
+from wcsph_tpu.parallel import halo, sharding, slab
+from wcsph_tpu.simulation import default_config
+from wcsph_tpu.solvers import dfsph
+from wcsph_tpu.state import init_state
+
+R = 0.025
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
+
+
+def _scene_cfg(use_pallas=False):
+    sc = scene.dam_break(particle_radius=R, fluid_dims=(6, 6, 6),
+                         box_extent=0.7)
+    lo, hi = sc.domain(pad=4 * R)
+    # fixed dt: adaptive dt takes DISCRETE x0.9/x1.1 feedback branches that
+    # rank-order float drift can flip near a threshold, which would turn a
+    # 1e-5 drift into a 10% dt divergence mid-trajectory
+    cfg = default_config("dfsph", particle_radius=R, domain_min=lo,
+                         domain_max=hi, use_pallas=use_pallas,
+                         adaptive_dt=False, dt_init=3e-3)
+    return sc, halo.slab_config(cfg, 8)
+
+
+def test_slab_step_matches_single_device(mesh8):
+    """8 fully-decomposed steps track the single-device trajectory, with an
+    x-drift kick strong enough (2.2 m/s x 3 ms x 8 steps > one particle
+    spacing) that seats genuinely migrate across slab boundaries mid-run;
+    nothing is lost.  Tolerances are the measured rank-order float drift
+    (per-slab binning orders cell ranks differently): pos 3.6e-4, vel 3e-2
+    at step 8."""
+    sc, cfg = _scene_cfg()
+    state = init_state(sc, cfg)
+    state = state.replace(dt=jnp.float32(cfg.dt_init),
+                          vel=state.vel.at[0].add(2.2))
+
+    sst = slab.slab_init(state, cfg, mesh8)
+    own0 = np.asarray(sst.pid).reshape(8, -1)
+
+    ref = state
+    step1 = jax.jit(lambda s: dfsph.step(s, cfg))
+    stepn = jax.jit(lambda s: slab.dfsph_step_slab(s, cfg, mesh8))
+    for _ in range(8):
+        ref = step1(ref)
+        sst = stepn(sst)
+
+    got = slab.slab_gather(sst, state)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=2e-3, atol=5e-4)
+    # velocity drift amplifies faster than position under the wall impact
+    # (measured 3e-2 max at step 8); position parity above is the tight
+    # check
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(float(got.dt), float(ref.dt), rtol=1e-6)
+
+    # conservation: every particle has exactly one seat, none lost
+    pids = np.asarray(sst.pid)
+    pids = pids[pids >= 0]
+    assert len(pids) == state.n_total
+    assert len(np.unique(pids)) == state.n_total
+    assert int(sst.migrated) == 0
+
+    # the run genuinely migrated seats (the kick crosses slab boundaries)
+    own1 = np.asarray(sst.pid).reshape(8, -1)
+    owner0 = {p: d for d in range(8) for p in own0[d] if p >= 0}
+    owner1 = {p: d for d in range(8) for p in own1[d] if p >= 0}
+    moved = sum(owner0[p] != owner1[p] for p in owner1)
+    assert moved > 0, "no seat crossed a slab boundary; scene too static"
+
+
+def test_slab_step_no_global_packed_ops(mesh8):
+    """The compiled per-step program keeps every (C, NC)-shaped op sharded:
+    no full-grid tensor may appear outside shard_map (VERDICT r2 item 5).
+    Heuristic: the largest op in the program must be ncap-seat-sized or
+    slab-sized, never global-grid-sized."""
+    sc, cfg = _scene_cfg()
+    state = init_state(sc, cfg)
+    sst = slab.slab_init(state, cfg, mesh8)
+    txt = jax.jit(lambda s: slab.dfsph_step_slab(s, cfg, mesh8)) \
+        .lower(sst).compile().as_text()
+    assert "collective-permute" in txt    # halos + migration ride ppermute
+    import re
+    nc_global = cfg.num_cells
+    cap = cfg.cell_capacity
+    # any tensor with C*NC_global elements in one dim = a global packed op
+    bad = [ln for ln in txt.splitlines()
+           if re.search(rf"f32\[[^\]]*\b{cap * nc_global}\b", ln)
+           or re.search(rf"f32\[{cap},{nc_global}\]", ln)]
+    assert not bad, f"global packed tensors in sharded step: {bad[:3]}"
+
+
+def test_slab_migration_conserves_under_pallas(mesh8):
+    """Same decomposition with the Mosaic engine middles (interpret on
+    CPU): trajectories match the single-device ENGINE path.  Per-slab
+    binning orders cell ranks differently, so pair sums accumulate in a
+    different order — measured drift is 0 at step 1 (same-order exact),
+    5.2e-5 max pos at step 4; tolerance set 4x above that."""
+    sc, cfg = _scene_cfg(use_pallas=True)
+    state = init_state(sc, cfg)
+    state = state.replace(dt=jnp.float32(cfg.dt_init))
+    sst = slab.slab_init(state, cfg, mesh8)
+    ref = state
+    step1 = jax.jit(lambda s: dfsph.step(s, cfg))
+    stepn = jax.jit(lambda s: slab.dfsph_step_slab(s, cfg, mesh8))
+    for _ in range(4):
+        ref = step1(ref)
+        sst = stepn(sst)
+    got = slab.slab_gather(sst, state)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=1e-3, atol=2e-4)
+    assert int(sst.migrated) == 0
