@@ -136,12 +136,13 @@ def run_iters(solvers, steps: int, scene: str) -> list[dict]:
     return rows
 
 
-def run_throughput(solvers, scales, steps: int, warmup: int) -> list[dict]:
+def run_throughput(solvers, scales, steps: int, warmup: int,
+                   scene: str = "canonical") -> list[dict]:
     rows = []
     for solver in solvers:
         for side in scales:
             use_pallas = side >= 40    # engine wins for every solver at scale
-            sim = _build(solver, "canonical", side=side,
+            sim = _build(solver, scene, side=side,
                          use_pallas=use_pallas)
             nl = sim.state.n_liquid
             for _ in range(warmup):
@@ -155,6 +156,7 @@ def run_throughput(solvers, scales, steps: int, warmup: int) -> list[dict]:
             sim.check_health()
             row = {
                 "solver": solver,
+                "scene": scene,
                 "n_liquid": int(nl),
                 "particle_steps_per_s": nl * steps / el,
                 "step_ms": el / steps * 1e3,
@@ -188,11 +190,12 @@ def to_markdown(result: dict) -> str:
         out.append("")
     if result.get("throughput"):
         out += ["## Throughput", "",
-                "| solver | particles | particle-steps/s | step ms "
-                "| engine | overflow |", "|---|---|---|---|---|---|"]
+                "| solver | scene | particles | particle-steps/s | step ms "
+                "| engine | overflow |", "|---|---|---|---|---|---|---|"]
         for r in result["throughput"]:
             out.append(
-                f"| {r['solver']} | {r['n_liquid']} "
+                f"| {r['solver']} | {r.get('scene', 'canonical')} "
+                f"| {r['n_liquid']} "
                 f"| {r['particle_steps_per_s']:.3e} | {r['step_ms']:.1f} "
                 f"| {'pallas' if r['use_pallas'] else 'xla'} "
                 f"| {r['overflow']} |")
@@ -241,6 +244,11 @@ def main():
     if args.suite in ("all", "throughput"):
         result["throughput"] = run_throughput(solvers, scales,
                                               args.bench_steps, args.warmup)
+        # tension-enabled flagship rows (cohesion/adhesion engine ops on the
+        # hot path — VERDICT r2 items 3/4 evidence)
+        result["throughput"] += run_throughput(
+            ["dfsph"], [s for s in scales if s >= 40],
+            args.bench_steps, args.warmup, scene="tension")
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -125,3 +125,40 @@ def test_slab_migration_conserves_under_pallas(mesh8):
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
                                rtol=1e-3, atol=2e-4)
     assert int(sst.migrated) == 0
+
+
+@pytest.mark.parametrize("solver", ["sesph", "pcisph", "iisph"])
+def test_slab_step_other_solvers(mesh8, solver):
+    """All four solvers run fully decomposed (comm-parameterized middles +
+    the generic seat conventions: kappa carries pressure, vel_guess the
+    IISPH viscosity warm start).  4-step trajectory parity vs the
+    single-device step; same measured rank-order drift class as dfsph."""
+    from wcsph_tpu.solvers import iisph, pcisph, sesph
+    mods = {"sesph": sesph, "pcisph": pcisph, "iisph": iisph}
+
+    sc = scene.dam_break(particle_radius=R, fluid_dims=(6, 6, 6),
+                         box_extent=0.7)
+    lo, hi = sc.domain(pad=4 * R)
+    cfg = default_config(solver, particle_radius=R, domain_min=lo,
+                         domain_max=hi, adaptive_dt=False, dt_init=2e-3)
+    cfg = halo.slab_config(cfg, 8)
+    state = init_state(sc, cfg)
+    state = state.replace(dt=jnp.float32(cfg.dt_init),
+                          vel=state.vel.at[0].add(2.0))
+    sst = slab.slab_init(state, cfg, mesh8, solver=solver)
+    ref = state
+    step1 = jax.jit(lambda s: mods[solver].step(s, cfg))
+    stepn = jax.jit(lambda s: slab.step_slab(s, cfg, mesh8, solver))
+    for _ in range(4):
+        ref = step1(ref)
+        sst = stepn(sst)
+    got = slab.slab_gather(sst, state, solver=solver)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.pressure),
+                               np.asarray(ref.pressure),
+                               rtol=5e-3, atol=2e-1)
+    assert int(sst.migrated) == 0
+    pids = np.asarray(sst.pid)
+    pids = pids[pids >= 0]
+    assert len(np.unique(pids)) == state.n_total

@@ -106,3 +106,81 @@ def test_fluid_block_surface():
     verts_a, tris_a = reconstruct(state, cfg, anisotropic=True)
     assert tris_a.shape[0] > 50
     assert verts_a.min() > -0.12 and verts_a.max() < 0.47
+
+
+def test_device_mc_matches_host():
+    """marching_cubes_device is an exact twin of the host extractor: same
+    triangle ORDER (row-major cube order, then table slot order), same
+    vertices to f32 roundoff, on random rough fields and the sphere."""
+    import jax.numpy as jnp
+
+    from wcsph_tpu.surface.mc import marching_cubes_device
+
+    rng = np.random.default_rng(3)
+    fields = []
+    n = 20
+    ax = np.linspace(-1.2, 1.2, n)
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    fields.append((1.5 - np.linalg.norm(g, axis=-1)).astype(np.float32))
+    for _ in range(3):
+        base = rng.normal(size=(6, 6, 6))
+        fld = (np.kron(base, np.ones((2, 2, 2)))
+               + 0.3 * rng.normal(size=(12, 12, 12))).astype(np.float32)
+        fields.append(fld)
+
+    for fld in fields:
+        hv, ht = marching_cubes(fld, (0.5, -1.0, 2.0), 0.1, isolevel=0.5)
+        dv, n_tris, n_drop = marching_cubes_device(
+            jnp.asarray(fld), (0.5, -1.0, 2.0), 0.1, isolevel=0.5,
+            max_active=4096, max_vertices=30000)
+        n_tris = int(n_tris)
+        assert int(n_drop) == 0
+        assert n_tris == ht.shape[0]
+        np.testing.assert_allclose(np.asarray(dv[: 3 * n_tris]),
+                                   hv, rtol=1e-5, atol=1e-5)
+        # the tail of the fixed buffer is zeroed
+        assert not np.asarray(dv[3 * n_tris:]).any()
+
+
+def test_device_mc_budgets():
+    """Budget overflow drops triangles deterministically and reports it."""
+    import jax.numpy as jnp
+
+    from wcsph_tpu.surface.mc import marching_cubes_device
+
+    n = 16
+    ax = np.linspace(-1.2, 1.2, n)
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    fld = (1.5 - np.linalg.norm(g, axis=-1)).astype(np.float32)
+    hv, ht = marching_cubes(fld, (0, 0, 0), 1.0)
+    full = ht.shape[0]
+    dv, n_tris, n_drop = marching_cubes_device(
+        jnp.asarray(fld), (0, 0, 0), 1.0, max_active=4096,
+        max_vertices=3 * (full // 2))
+    assert int(n_tris) == full // 2
+    assert int(n_drop) == full - full // 2
+    # the kept prefix matches the host's first triangles
+    np.testing.assert_allclose(np.asarray(dv), hv[: 3 * (full // 2)],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_reconstruct_on_device_matches_host():
+    import jax
+
+    from wcsph_tpu import scene
+    from wcsph_tpu.config import SimConfig
+    from wcsph_tpu.state import init_state
+    from wcsph_tpu.surface.reconstruction import reconstruct
+
+    R = 0.025
+    b = scene.SceneBuilder()
+    b.add_liquid_block((8, 8, 8), 2 * R, (0, 0, 0))
+    sc = b.build()
+    lo, hi = sc.domain(pad=6 * R)
+    cfg = SimConfig(particle_radius=R, domain_min=lo, domain_max=hi)
+    state = init_state(sc, cfg)
+    hv, ht = reconstruct(state, cfg)
+    dv, dt_ = reconstruct(state, cfg, on_device=True)
+    assert dt_.shape == ht.shape
+    np.testing.assert_allclose(dv, hv, rtol=1e-5, atol=1e-5)
+    _check_watertight(dv, dt_)

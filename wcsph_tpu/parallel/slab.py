@@ -85,10 +85,12 @@ def slab_width_cells(cfg: SimConfig, n: int) -> int:
 
 
 def slab_init(state: FluidState, cfg: SimConfig, mesh: Mesh,
-              ncap: int | None = None, slack: float = 1.35) -> SlabState:
+              ncap: int | None = None, slack: float = 1.35,
+              solver: str = "dfsph") -> SlabState:
     """One-time seating: sort particles by owning slab, pad each slab to a
     common static capacity (max initial slab population x slack).  Runs on
-    host-side numpy (boundary IO, not the hot path)."""
+    host-side numpy (boundary IO, not the hot path).  For non-DFSPH solvers
+    the ``kappa`` seats carry the pressure (see the _mid_* conventions)."""
     n = mesh.devices.size
     gxl = slab_width_cells(cfg, n)
     pos = np.asarray(state.pos)
@@ -128,7 +130,8 @@ def slab_init(state: FluidState, cfg: SimConfig, mesh: Mesh,
         pos=seat_arr(state.pos, EMPTY_POS),
         vel=seat_arr(state.vel), omega=seat_arr(state.omega),
         vel_guess=seat_arr(state.vel_guess),
-        kappa=seat_arr(state.kappa), kappa_v=seat_arr(state.kappa_v),
+        kappa=seat_arr(state.kappa if solver == "dfsph" else state.pressure),
+        kappa_v=seat_arr(state.kappa_v),
         dt=state.dt, time=state.time,
         last_visc_iters=state.last_visc_iters,
         last_pressure_iters=state.last_pressure_iters,
@@ -136,8 +139,11 @@ def slab_init(state: FluidState, cfg: SimConfig, mesh: Mesh,
         diag=state.diag, n_liquid=state.n_liquid, ncap=ncap)
 
 
-def slab_gather(sst: SlabState, proto: FluidState) -> FluidState:
-    """Back to the per-particle global order (export / checkpoint / tests)."""
+def slab_gather(sst: SlabState, proto: FluidState,
+                solver: str = "dfsph") -> FluidState:
+    """Back to the per-particle global order (export / checkpoint / tests).
+    For non-DFSPH solvers the ``kappa`` seat field carries the pressure
+    (see the _mid_* seat conventions)."""
     keep = sst.pid >= 0
     idx = jnp.where(keep, sst.pid, proto.n_total)
 
@@ -147,15 +153,19 @@ def slab_gather(sst: SlabState, proto: FluidState) -> FluidState:
         return old.at[:, idx].set(
             jnp.where(keep[None], seated, 0), mode="drop")
 
+    if solver == "dfsph":
+        named = dict(kappa=back(sst.kappa, proto.kappa),
+                     kappa_v=back(sst.kappa_v, proto.kappa_v))
+    else:
+        named = dict(pressure=back(sst.kappa, proto.pressure))
     return proto.replace(
         pos=back(sst.pos, proto.pos), vel=back(sst.vel, proto.vel),
         omega=back(sst.omega, proto.omega),
         vel_guess=back(sst.vel_guess, proto.vel_guess),
-        kappa=back(sst.kappa, proto.kappa),
-        kappa_v=back(sst.kappa_v, proto.kappa_v),
         dt=sst.dt, time=sst.time,
         last_visc_iters=sst.last_visc_iters,
-        last_pressure_iters=sst.last_pressure_iters, diag=sst.diag)
+        last_pressure_iters=sst.last_pressure_iters, diag=sst.diag,
+        **named)
 
 
 def _build_grid_seats(pos_sh, liquid_seat, valid_seat, cfg_loc: SimConfig,
@@ -332,12 +342,55 @@ def _local_cfg(cfg: SimConfig, n: int) -> SimConfig:
     return out
 
 
-def dfsph_step_slab(sst: SlabState, cfg: SimConfig, mesh: Mesh) -> SlabState:
-    """One DFSPH step, fully decomposed: local binning + halo middle +
-    migration inside ONE shard_map (solvers/dfsph.py step_middle under
-    comm.SlabComm; the reference analogue is the per-frame loop
-    dfsph.py:600-617 on a single GPU)."""
+def _mid_dfsph(comm, cfg, f, dt, last_pr):
     from ..solvers import dfsph
+    m = dfsph.step_middle(comm, cfg, f["vel"], f["omega"], f["vel_guess"],
+                          f["kappa"], f["kappa_v"], dt, last_pr)
+    return ({"vel": m.vel, "omega": m.omega, "vel_guess": m.vel_guess,
+             "kappa": m.kappa, "kappa_v": m.kappa_v},
+            m.new_dt, (m.div_iters, m.pr_iters, m.visc_iters,
+                       m.err, m.err_pre))
+
+
+def _mid_iisph(comm, cfg, f, dt, last_pr):
+    # seat convention for non-DFSPH solvers: ``kappa`` carries the pressure
+    # (IISPH p_pre warm start rides migration), ``vel_guess`` the viscosity
+    # warm start — the same field sets as their RESIDENT_FIELDS
+    from ..solvers import iisph
+    m = iisph.step_middle(comm, cfg, f["vel"], f["vel_guess"], f["kappa"],
+                          dt)
+    return ({"vel": m.vel, "vel_guess": m.delta_v, "kappa": m.pressure},
+            dt, (jnp.int32(0), m.iters, m.visc_iters, m.err, m.err_pre))
+
+
+def _mid_pcisph(comm, cfg, f, dt, last_pr):
+    from ..solvers import pcisph
+    m = pcisph.step_middle(comm, cfg, f["vel"], dt)
+    return ({"vel": m.vel, "kappa": m.pressure},
+            dt, (jnp.int32(0), m.iters, jnp.int32(0), m.err, m.err_pre))
+
+
+def _mid_sesph(comm, cfg, f, dt, last_pr):
+    from ..solvers import sesph
+    vel_new, rhop, pp = sesph.step_middle(comm, cfg, f["vel"], dt)
+    err = comm.lsum(rhop) / comm.n_liquid() / cfg.rest_density - 1.0
+    return ({"vel": vel_new, "kappa": pp},
+            dt, (jnp.int32(0), jnp.int32(0), jnp.int32(0), err,
+                 jnp.float32(0.0)))
+
+
+_MIDDLES = {"dfsph": _mid_dfsph, "iisph": _mid_iisph,
+            "pcisph": _mid_pcisph, "sesph": _mid_sesph}
+
+
+def step_slab(sst: SlabState, cfg: SimConfig, mesh: Mesh,
+              solver: str = "dfsph") -> SlabState:
+    """One solver step, fully decomposed: local binning + halo middle +
+    migration inside ONE shard_map (the solver's comm-parameterized
+    step_middle under comm.SlabComm; the reference analogue is the
+    per-frame loop dfsph.py:600-617 on a single GPU).  All four solvers
+    run — their middles are comm-parameterized (parallel/halo.py)."""
+    middle_fn = _MIDDLES[solver]
 
     n = mesh.devices.size
     cfg_loc = _local_cfg(cfg, n)
@@ -365,24 +418,30 @@ def dfsph_step_slab(sst: SlabState, cfg: SimConfig, mesh: Mesh) -> SlabState:
                                  ncap)
         comm = _make_slab_comm(grid.pid, grid.valid, grid.liquid, grid.xp,
                                cfg, n)
-        velp = _pack_seats(grid, vel, liquid_seat)
-        omegap = _pack_seats(grid, omega, liquid_seat)
-        vgp = _pack_seats(grid, vg, liquid_seat)
-        kpp = _pack_seats(grid, kp, liquid_seat)
-        kvp = _pack_seats(grid, kv, liquid_seat)
+        fin = {"vel": _pack_seats(grid, vel, liquid_seat),
+               "omega": _pack_seats(grid, omega, liquid_seat),
+               "vel_guess": _pack_seats(grid, vg, liquid_seat),
+               "kappa": _pack_seats(grid, kp, liquid_seat),
+               "kappa_v": _pack_seats(grid, kv, liquid_seat)}
 
-        m = dfsph.step_middle(comm, cfg, velp, omegap, vgp, kpp, kvp, dt,
-                              last_pr)
+        upd, new_dt, (dv_it, pr_it, vs_it, err, err_pre) = middle_fn(
+            comm, cfg, fin, dt, last_pr)
 
-        vel2 = jnp.where(liquid_seat[None],
-                         _unpack_seats(grid, m.vel, 0.0), vel)
-        omega2 = jnp.where(liquid_seat[None],
-                           _unpack_seats(grid, m.omega, 0.0), omega)
-        vg2 = jnp.where(liquid_seat[None],
-                        _unpack_seats(grid, m.vel_guess, 0.0), vg)
-        kp2 = jnp.where(liquid_seat, _unpack_seats(grid, m.kappa, 0.0), kp)
-        kv2 = jnp.where(liquid_seat, _unpack_seats(grid, m.kappa_v, 0.0), kv)
-        pos2 = jnp.where(liquid_seat[None], pos + vel2 * m.new_dt, pos)
+        def back(name, seat):
+            if name not in upd:
+                return seat
+            got = _unpack_seats(grid, upd[name], 0.0)
+            mask = liquid_seat if seat.ndim == 1 else liquid_seat[None]
+            return jnp.where(mask, got, seat)
+
+        vel2 = back("vel", vel)
+        omega2 = back("omega", omega)
+        vg2 = back("vel_guess", vg)
+        kp2 = back("kappa", kp)
+        kv2 = back("kappa_v", kv)
+        pos2 = jnp.where(liquid_seat[None], pos + vel2 * new_dt, pos)
+        vmax_sq = jax.lax.pmax(
+            jnp.max(jnp.sum(vel2 * vel2, axis=0)), AXIS)
 
         pid2, f2, dropped = _migrate(
             pid, {"pos": pos2, "vel": vel2, "omega": omega2,
@@ -391,9 +450,9 @@ def dfsph_step_slab(sst: SlabState, cfg: SimConfig, mesh: Mesh) -> SlabState:
 
         ovf = jax.lax.psum(grid.overflow + dropped, AXIS)
         return (pid2, f2["pos"], f2["vel"], f2["omega"], f2["vel_guess"],
-                f2["kappa"], f2["kappa_v"], m.new_dt, m.div_iters,
-                m.pr_iters, m.visc_iters, m.err, m.err_pre, ovf,
-                jnp.sqrt(m.vmax_sq), jax.lax.psum(dropped, AXIS))
+                f2["kappa"], f2["kappa_v"], new_dt, dv_it,
+                pr_it, vs_it, err, err_pre, ovf,
+                jnp.sqrt(vmax_sq), jax.lax.psum(dropped, AXIS))
 
     (pid, pos, vel, omega, vg, kp, kv, new_dt, dv_it, pr_it, vs_it, err,
      err_pre, ovf, vmax, migdrop) = step(
@@ -409,3 +468,8 @@ def dfsph_step_slab(sst: SlabState, cfg: SimConfig, mesh: Mesh) -> SlabState:
         kappa_v=kv, dt=new_dt, time=sst.time + new_dt,
         last_visc_iters=vs_it, last_pressure_iters=pr_it,
         migrated=sst.migrated + migdrop, diag=diag)
+
+
+def dfsph_step_slab(sst: SlabState, cfg: SimConfig, mesh: Mesh) -> SlabState:
+    """Backward-compatible alias: the DFSPH instance of step_slab."""
+    return step_slab(sst, cfg, mesh, "dfsph")

@@ -132,11 +132,14 @@ def build_grid_padded(plan, pos: jnp.ndarray, n_liquid: int,
     pid = jnp.full((nflat,), -1, jnp.int32).at[sl].set(
         order.astype(jnp.int32), mode="drop").reshape(NX, cap, PP)
     pos_sorted = pos[:, order]
-    xp = jnp.stack([
-        jnp.full((nflat,), EMPTY_POS, jnp.float32)
-        .at[sl].set(pos_sorted[c], mode="drop")
-        for c in range(3)
-    ]).reshape(3, NX, cap, PP)
+    # one flat scalar-index scatter for all 3 components (idx + c * nflat,
+    # component-major): same index count as 3 per-component scatters but a
+    # single thunk — the axon launch gap charges per executed op
+    sl3 = jnp.concatenate([jnp.where(sl < nflat, sl + c * nflat, 3 * nflat)
+                           for c in range(3)])
+    xp = (jnp.full((3 * nflat,), EMPTY_POS, jnp.float32)
+          .at[sl3].set(pos_sorted.reshape(-1), mode="drop")
+          .reshape(3, NX, cap, PP))
 
     slot_all = jnp.full((n,), -1, jnp.int32)
     slot_all = slot_all.at[order].set(jnp.where(ok, flat, -1))
@@ -305,7 +308,8 @@ def rebin_auto(plan, cfg: SimConfig, rs: ResidentState, budget: int):
 
     def _inc(_):
         grid, dyn, side = rebin_incremental(plan, cfg, rs.grid, rs.dyn,
-                                            rs.side, budget, scan=scan)
+                                            rs.side, budget, scan=scan,
+                                            n_liquid=rs.n_liquid)
         grid = grid._replace(since_rebuild=rs.grid.since_rebuild + 1)
         return grid, tuple(dyn), side
 
@@ -314,7 +318,7 @@ def rebin_auto(plan, cfg: SimConfig, rs: ResidentState, budget: int):
 
 def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
                       dyn: Sequence, side: SideBuffer, budget: int,
-                      scan: MoverScan = None):
+                      scan: MoverScan = None, n_liquid: int = None):
     """Relocate the particles whose cell changed since placement.
 
     Cost model at 1M (v5e measured primitives): one N-gather (~10 ms) +
@@ -382,14 +386,25 @@ def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
     def _vals(o, k):
         return jnp.concatenate([s_data[o + c] for c in range(k)])
 
-    # s_pid == n only where new_slot == nflat, so both writes drop together
-    pid_f = (rgrid.pid.ravel().at[s_old].set(-1, mode="drop")
-             .at[new_slot].set(s_pid, mode="drop"))
-    liq_f = (rgrid.liquid.ravel().at[s_old].set(False, mode="drop")
-             .at[new_slot].set(True, mode="drop"))
-    xp_f = (rgrid.xp.reshape(3 * nflat)
-            .at[_multi(s_old, 3)].set(EMPTY_POS, mode="drop")
-            .at[_multi(new_slot, 3)].set(_vals(0, 3), mode="drop"))
+    # s_pid == n only where new_slot == nflat, so both writes drop together.
+    # Clears and sets touch DISJOINT slots (movers land at top[dest]+rank,
+    # which is above every vacated rank — see docstring), so each buffer
+    # takes ONE scatter with concatenated clear+set indices, not two.
+    pid_f = rgrid.pid.ravel().at[
+        jnp.concatenate([s_old, new_slot])].set(
+        jnp.concatenate([jnp.full_like(s_old, -1), s_pid]), mode="drop")
+    xp_f = rgrid.xp.reshape(3 * nflat).at[
+        jnp.concatenate([_multi(s_old, 3), _multi(new_slot, 3)])].set(
+        jnp.concatenate([jnp.full((3 * budget,), EMPTY_POS, jnp.float32),
+                         _vals(0, 3)]), mode="drop")
+    # liquid is derived, not scattered: only liquid particles ever move, so
+    # the post-move mask is exactly (0 <= pid < n_liquid) — two scatters
+    # (~0.2M indices at the measured ~10 ns/index) become one elementwise op
+    if n_liquid is not None:
+        liq_f = (pid_f >= 0) & (pid_f < n_liquid)
+    else:
+        liq_f = (rgrid.liquid.ravel().at[s_old].set(False, mode="drop")
+                 .at[new_slot].set(True, mode="drop"))
     dyn_out, o = [], 3
     for d in dyn:
         k = d.shape[0] if d.ndim == 4 else 1
@@ -414,11 +429,19 @@ def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
     fpos = side.n + jnp.cumsum(fail.astype(jnp.int32)) - 1
     w = jnp.where(fail & (fpos < S), fpos, S)
     side_pid = side.pid.at[w].set(s_pid, mode="drop")
-    side_pos = jnp.stack([side.pos[c].at[w].set(s_data[c], mode="drop")
-                          for c in range(3)])
-    side_dyn = jnp.stack([
-        side.dyn[i].at[w].set(s_data[3 + i], mode="drop")
-        for i in range(side.dyn.shape[0])])
+    # flat component-major scatters: one thunk per buffer, not per component
+    D = side.dyn.shape[0]
+
+    def _sflat(k):
+        return jnp.concatenate([jnp.where(w < S, w + c * S, k * S)
+                                for c in range(k)])
+
+    side_pos = (side.pos.reshape(-1)
+                .at[_sflat(3)].set(s_data[:3].reshape(-1), mode="drop")
+                .reshape(3, S))
+    side_dyn = (side.dyn.reshape(-1)
+                .at[_sflat(D)].set(s_data[3:].reshape(-1), mode="drop")
+                .reshape(D, S))
     n_fail = jnp.sum(fail).astype(jnp.int32)
     spill = jnp.maximum(side.n + n_fail - S, 0)  # lost outright
     side_n = jnp.minimum(side.n + n_fail, S)
@@ -492,7 +515,14 @@ def materialize(rgrid: ResidentGrid, dyn: Sequence, side: SideBuffer):
     n = got.shape[1]
     spid = jnp.where(side.pid >= 0, side.pid, n)
     sdata = jnp.concatenate([side.pos, side.dyn], axis=0)
-    got = got.at[:, spid].set(sdata, mode="drop")
+    # flat component-major overlay: a leading-dense-dim scatter is ~15x the
+    # per-index price of a scalar one (scripts/prim_perf*.py), and this is
+    # ONE thunk instead of a (rows, S)-shaped scatter
+    rows = got.shape[0]
+    oidx = jnp.concatenate([jnp.where(spid < n, spid + k * n, rows * n)
+                            for k in range(rows)])
+    got = (got.reshape(-1).at[oidx].set(sdata.reshape(-1), mode="drop")
+           .reshape(rows, n))
     pos = got[:3]
     out, o = [], 3
     for d in dyn:

@@ -2,11 +2,16 @@
 
 Classic 256-case marching cubes with linear edge interpolation
 (MarchingCubeGrid.py:252-328) over the programmatically derived case table
-(tables.py).  The cube-classification and edge-interpolation phase is
-vectorized numpy on the host — surface extraction runs at export rate
-(20 fps in the reference, MarchingCubeGrid.py:14), not at sim rate, and its
-output feeds a host-side OBJ writer anyway.  The hot part (the scalar field)
-runs on-device in field.py.
+(tables.py).  Two equivalent extractors:
+
+* :func:`marching_cubes` — vectorized numpy on the host (export-rate tool;
+  20 fps in the reference, MarchingCubeGrid.py:14);
+* :func:`marching_cubes_device` — the jittable static-shape twin, so the
+  WHOLE surface pipeline (field -> classification -> interpolation ->
+  triangle emission) can run on the TPU in one program
+  (reconstruction.reconstruct(on_device=True)).
+
+The scalar field itself always runs on-device in field.py.
 
 Sign convention matches the reference: corner bit set when value < isolevel
 (MarchingCubeGrid.py:272-287), surface at isolevel 0.5.
@@ -83,6 +88,103 @@ def marching_cubes(field: np.ndarray, origin, spacing: float,
     vertices = (origin + spacing * tri_verts.reshape(-1, 3)).astype(np.float32)
     triangles = np.arange(n_tris * 3, dtype=np.int32).reshape(-1, 3)
     return vertices, triangles
+
+
+def marching_cubes_device(field, origin, spacing: float,
+                          isolevel: float = 0.5,
+                          max_active: int = 262_144,
+                          max_vertices: int = MAX_VERTEX):
+    """Fully ON-DEVICE marching cubes (jittable, static shapes).
+
+    The TPU-native twin of :func:`marching_cubes` — the one reference
+    compute kernel that previously still ran on the host
+    (MarchingCubeGrid.py:252-328).  Data-dependent sizes become
+    fixed-budget compactions (cumsum + drop-mode scatter), the same
+    static-shape pattern as the neighbor grid:
+
+      1. cube classification: elementwise over all (nx-1)(ny-1)(nz-1) cubes;
+      2. active cubes (config not 0/255) compact into ``max_active`` seats;
+      3. edge/centroid vertex interpolation is A-sized;
+      4. triangles compact into a ``max_vertices // 3`` buffer (the
+         reference's vertex-budget contract, MarchingCubeGrid.py:8,327).
+
+    Returns ``(vertices (max_tris*3, 3) f32, n_tris (), n_dropped ())``
+    where entries beyond ``3 * n_tris`` are zeros; ``n_dropped`` counts
+    triangles lost to either budget.  Triangle i uses vertices
+    ``[3i, 3i+1, 3i+2]`` — identical ordering to the host version, so the
+    two paths compare exactly.
+    """
+    import jax.numpy as jnp
+
+    f = jnp.asarray(field)
+    origin = jnp.asarray(origin, jnp.float32)
+    nx, ny, nz = f.shape
+    cx, cy, cz = nx - 1, ny - 1, nz - 1
+    ncube = cx * cy * cz
+    max_tris = max_vertices // 3
+
+    cv = jnp.stack([
+        f[vx: cx + vx, vy: cy + vy, vz: cz + vz].ravel()
+        for vx, vy, vz in CORNERS
+    ])                                           # (8, ncube)
+    config = jnp.zeros((ncube,), jnp.int32)
+    for v in range(8):
+        config = config | ((cv[v] < isolevel).astype(jnp.int32) << v)
+
+    # --- active-cube compaction (row-major order == np.nonzero order) ---
+    active = (config != 0) & (config != 255)
+    acs = jnp.cumsum(active.astype(jnp.int32))
+    w = jnp.where(active & (acs - 1 < max_active), acs - 1, max_active)
+    act_ids = jnp.full((max_active,), -1, jnp.int32).at[w].set(
+        jnp.arange(ncube, dtype=jnp.int32), mode="drop")
+    n_act = acs[-1]
+    a_ok = act_ids >= 0
+    ai = jnp.maximum(act_ids, 0)
+
+    cfg_a = jnp.where(a_ok, config[ai], 0)       # (A,)
+    cv_a = cv[:, ai]                             # (8, A) leading-dim gather
+    base = jnp.stack([ai // (cy * cz), (ai // cz) % cy, ai % cz],
+                     axis=1).astype(jnp.float32)            # (A, 3)
+
+    corners_f = jnp.asarray(CORNERS, jnp.float32)
+    verts12 = []
+    for e, (a, b) in enumerate(EDGES):
+        va, vb = cv_a[a], cv_a[b]
+        denom = vb - va
+        safe = jnp.abs(denom) > 1e-5
+        t = jnp.clip(jnp.where(safe, (isolevel - va)
+                               / jnp.where(safe, denom, 1.0), 0.0), 0.0, 1.0)
+        pa = base + corners_f[a]
+        pb = base + corners_f[b]
+        verts12.append(pa + t[:, None] * (pb - pa))
+    verts12 = jnp.stack(verts12, axis=1)         # (A, 12, 3)
+    cent = jnp.einsum("ake,aed->akd",
+                      jnp.asarray(CENTROID_TABLE)[cfg_a], verts12)
+    verts16 = jnp.concatenate([verts12, cent], axis=1)      # (A, 16, 3)
+
+    # --- triangle compaction (same (cube, slot) order as the host path) ---
+    rows = jnp.asarray(TRI_TABLE)[cfg_a][:, :-1].reshape(
+        max_active, -1, 3)                       # (A, T, 3)
+    T = rows.shape[1]
+    valid = (rows[:, :, 0] >= 0) & a_ok[:, None]
+    tri_pts = jnp.take_along_axis(
+        verts16, jnp.maximum(rows, 0).reshape(max_active, T * 3)[..., None],
+        axis=1).reshape(max_active * T, 3, 3)    # (A*T, corner, xyz)
+
+    vflat = valid.ravel()
+    tcs = jnp.cumsum(vflat.astype(jnp.int32))
+    tw = jnp.where(vflat & (tcs - 1 < max_tris), tcs - 1, max_tris)
+    out = jnp.zeros((max_tris, 3, 3), jnp.float32).at[tw].set(
+        jnp.where(vflat[:, None, None], tri_pts, 0.0), mode="drop")
+    n_tris = jnp.minimum(tcs[-1], max_tris)
+    # diagnostic: triangles beyond the vertex budget + CUBES beyond the
+    # active budget (each dropped cube loses 1-8 triangles)
+    n_dropped = (jnp.maximum(tcs[-1] - max_tris, 0)
+                 + jnp.maximum(n_act - max_active, 0))
+    vertices = origin[None] + spacing * out.reshape(-1, 3)
+    vertices = jnp.where(
+        jnp.arange(vertices.shape[0])[:, None] < 3 * n_tris, vertices, 0.0)
+    return vertices, n_tris, n_dropped
 
 
 def weld_vertices(vertices: np.ndarray, triangles: np.ndarray,

@@ -20,11 +20,18 @@ from . import mc as mc_mod
 
 def reconstruct(state: FluidState, cfg: SimConfig, isolevel: float = 0.5,
                 anisotropic: bool = False,
-                max_vertices: int = mc_mod.MAX_VERTEX
+                max_vertices: int = mc_mod.MAX_VERTEX,
+                on_device: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Extract the fluid surface mesh: (vertices (V,3), triangles (T,3))."""
+    """Extract the fluid surface mesh: (vertices (V,3), triangles (T,3)).
 
-    @jax.jit
+    With ``on_device=True`` the ENTIRE pipeline — density field, cube
+    classification, edge interpolation, triangle emission — runs as one
+    jitted TPU program (mc.marching_cubes_device); only the fixed-size
+    vertex buffer crosses to the host.  Default is the host extractor
+    (identical output ordering; export-rate tool)."""
+    origin, spacing = field_mod.mc_grid_geometry(cfg)
+
     def device_field(pos):
         grid = build_grid(pos, state.n_liquid, cfg)
         rhop = dense_ops.density_stats(grid, cfg, with_alpha=False).rho
@@ -37,8 +44,20 @@ def reconstruct(state: FluidState, cfg: SimConfig, isolevel: float = 0.5,
             phi = field_mod.mc_field_packed(grid, cfg, rhop)
         return field_mod.field_to_dense(phi, cfg)
 
-    dense = np.asarray(device_field(state.pos))
-    origin, spacing = field_mod.mc_grid_geometry(cfg)
+    if on_device:
+        @jax.jit
+        def device_mesh(pos):
+            dense = device_field(pos)
+            return mc_mod.marching_cubes_device(dense, origin, spacing,
+                                                isolevel,
+                                                max_vertices=max_vertices)
+
+        verts, n_tris, _ = device_mesh(state.pos)
+        n = int(np.asarray(n_tris))
+        vertices = np.asarray(verts[: 3 * n])
+        return vertices, np.arange(3 * n, dtype=np.int32).reshape(-1, 3)
+
+    dense = np.asarray(jax.jit(device_field)(state.pos))
     return mc_mod.marching_cubes(dense, origin, spacing, isolevel,
                                  max_vertices)
 
