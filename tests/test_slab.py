@@ -127,6 +127,33 @@ def test_slab_migration_conserves_under_pallas(mesh8):
     assert int(sst.migrated) == 0
 
 
+def test_slab_step_with_tension(mesh8):
+    """Surface tension + boundary adhesion under the slab decomposition:
+    the normals and tension sweeps run per-slab with halo lifts
+    (dense_ops.surface_normals / tension_accel under SlabComm).  4-step
+    trajectory parity vs the single-device tension step."""
+    sc = scene.dam_break(particle_radius=R, fluid_dims=(6, 6, 6),
+                         box_extent=0.7)
+    lo, hi = sc.domain(pad=4 * R)
+    cfg = default_config("dfsph", particle_radius=R, domain_min=lo,
+                         domain_max=hi, adaptive_dt=False, dt_init=3e-3,
+                         tension_coff=0.5, tension_coff_b=0.25)
+    cfg = halo.slab_config(cfg, 8)
+    state = init_state(sc, cfg)
+    state = state.replace(dt=jnp.float32(cfg.dt_init))
+    sst = slab.slab_init(state, cfg, mesh8)
+    ref = state
+    step1 = jax.jit(lambda s: dfsph.step(s, cfg))
+    stepn = jax.jit(lambda s: slab.step_slab(s, cfg, mesh8))
+    for _ in range(4):
+        ref = step1(ref)
+        sst = stepn(sst)
+    got = slab.slab_gather(sst, state)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=1e-3, atol=2e-4)
+    assert int(sst.migrated) == 0
+
+
 @pytest.mark.parametrize("solver", ["sesph", "pcisph", "iisph"])
 def test_slab_step_other_solvers(mesh8, solver):
     """All four solvers run fully decomposed (comm-parameterized middles +

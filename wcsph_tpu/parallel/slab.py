@@ -168,10 +168,18 @@ def slab_gather(sst: SlabState, proto: FluidState,
         **named)
 
 
-def _build_grid_seats(pos_sh, liquid_seat, valid_seat, cfg_loc: SimConfig,
-                      ncap: int):
+def _build_grid_seats(pos_sh, pos_glob, liquid_seat, valid_seat,
+                      cfg_loc: SimConfig, ncap: int):
     """build_grid over one slab's seats (grid.py:75-122 with seat-space
-    pid/liquid instead of the global index-order convention)."""
+    pid/liquid instead of the global index-order convention).
+
+    Binning uses the slab-LOCAL positions (``pos_sh``, shifted by the slab
+    x-origin so cfg_loc's rebased domain applies), but ``xp`` stores the
+    GLOBAL positions: every window op consumes xp only through pair
+    differences (shift-invariant), while the boundary-adhesion gate in
+    dense_ops.tension_accel / engine._TensionAccel compares xp against the
+    ABSOLUTE cfg.adhesion_center — slab-local coordinates there silently
+    move the adhesion region per device."""
     nc = cfg_loc.num_cells
     cap = cfg_loc.cell_capacity
     from ..grid import cell_of_positions
@@ -196,7 +204,7 @@ def _build_grid_seats(pos_sh, liquid_seat, valid_seat, cfg_loc: SimConfig,
     flat_slot = rank * nc + jnp.minimum(sorted_cell, nc)
     ok = (rank < cap) & (sorted_cell < nc)
     sl = jnp.where(ok, flat_slot, cap * nc)
-    pos_sorted = pos_sh[:, order]
+    pos_sorted = pos_glob[:, order]
     xp = jnp.stack([
         jnp.full((cap * nc,), EMPTY_POS, jnp.float32)
         .at[sl].set(pos_sorted[c], mode="drop")
@@ -413,9 +421,10 @@ def step_slab(sst: SlabState, cfg: SimConfig, mesh: Mesh,
         valid_seat = pid >= 0
         liquid_seat = valid_seat & (pid < nl)
         pos_sh = jnp.where(valid_seat[None], pos - shift, EMPTY_POS)
+        pos_glob = jnp.where(valid_seat[None], pos, EMPTY_POS)
 
-        grid = _build_grid_seats(pos_sh, liquid_seat, valid_seat, cfg_loc,
-                                 ncap)
+        grid = _build_grid_seats(pos_sh, pos_glob, liquid_seat, valid_seat,
+                                 cfg_loc, ncap)
         comm = _make_slab_comm(grid.pid, grid.valid, grid.liquid, grid.xp,
                                cfg, n)
         fin = {"vel": _pack_seats(grid, vel, liquid_seat),
