@@ -123,11 +123,23 @@ def p_sortrank(g, dyn):
     rrank = kio - run_start
     s_ok = mvalid[order] & (sdest < nc_cells)
     dc = jnp.minimum(sdest, nc_cells - 1)
-    new_rank = jnp.where(s_ok, g.top[dc] + rrank, plan.C)
-    placed = s_ok & (new_rank < plan.C)
+    # occupancy-bitmask hole-filling placement (resident.rebin_incremental)
+    C = plan.C
+    px_d = dc // plan.P
+    pp_d = dc - px_d * plan.P
+    occ = jnp.sum((g.pid >= 0).astype(jnp.int32)
+                  << jnp.arange(C, dtype=jnp.int32)[None, :, None],
+                  axis=1).reshape(plan.NX * plan.PP)
+    occ_m = occ[jnp.where(s_ok, (px_d + 1) * plan.PP
+                          + (resident._MARGIN + pp_d), 0)]
+    bit_iota = jnp.arange(C, dtype=jnp.int32)[None, :]
+    free = 1 - ((occ_m[:, None] >> bit_iota) & 1)
+    freec = jnp.cumsum(free, axis=1)
+    hit = (free == 1) & (freec == (rrank + 1)[:, None])
+    new_rank = jnp.min(jnp.where(hit, bit_iota, C), axis=1)
+    placed = s_ok & (new_rank < C)
     new_slot = jnp.where(
-        placed, resident._flat_slot(plan, dc // plan.P, new_rank,
-                                    dc - (dc // plan.P) * plan.P), nflat)
+        placed, resident._flat_slot(plan, px_d, new_rank, pp_d), nflat)
     return new_slot, placed, mdata[:, order], old_slot[order]
 
 

@@ -157,6 +157,52 @@ def test_rebin_relocates_and_parks():
     assert int(rs3.grid.rebin_lost) == 0
 
 
+def test_rebin_hole_filling_and_side_reentry():
+    """Hole-filling placement semantics: a vacated rank is re-used by the
+    next arrival to that cell (arrivals take the LOWEST free rank from the
+    pre-move occupancy bitmask — no bump-pointer growth), and a parked
+    side-buffer particle re-enters via the per-step incremental rebin the
+    moment its cell has room, with no full rebuild."""
+    sim = _sim(True, rebuild_every=1000)
+    rs = sim._rs
+    cfg = sim.cfg
+    plan = make_plan(cfg, cfg.cell_capacity)
+    slot0 = np.asarray(rs.grid.slot)
+    liq_flat = np.asarray(rs.grid.liquid).ravel()
+    p_out = next(p for p in range(sim.state.n_liquid)
+                 if slot0[p] >= 0 and liq_flat[slot0[p]])
+    home_slot = slot0[p_out]
+    orig_pos = np.asarray(rs.grid.xp).reshape(3, -1)[:, home_slot].copy()
+
+    # rebin 1: teleport p_out outside the box -> it parks, its slot vacates
+    hi = np.asarray(cfg.domain_max)
+    xp = rs.grid.xp.reshape(3, -1)
+    for c in range(3):
+        xp = xp.at[c, home_slot].set(float(hi[c] + 1.0))
+    budget = max(1024, int(slot0.shape[0] * cfg.resident_mover_frac))
+    g1, dyn1, side1 = resident.rebin_incremental(
+        plan, cfg, rs.grid._replace(xp=xp.reshape(rs.grid.xp.shape)),
+        rs.dyn, rs.side, budget)
+    assert int(np.asarray(g1.slot)[p_out]) == -1
+    assert int(side1.n) == 1
+    assert np.asarray(g1.pid).ravel()[home_slot] == -1
+    top1 = np.asarray(g1.top)
+
+    # rebin 2: pull the parked particle back to its ORIGINAL position — the
+    # incremental rebin must re-seat it, and (its old rank being the lowest
+    # free rank of that cell) at exactly the slot it vacated
+    seat = int(np.nonzero(np.asarray(side1.pid) == p_out)[0][0])
+    side1b = side1._replace(
+        pos=side1.pos.at[:, seat].set(jnp.asarray(orig_pos, jnp.float32)))
+    g2, dyn2, side2 = resident.rebin_incremental(
+        plan, cfg, g1, dyn1, side1b, budget)
+    assert int(np.asarray(g2.slot)[p_out]) == home_slot   # hole refilled
+    assert int(side2.n) == 0 and int(g2.overflow) == 0
+    assert np.asarray(g2.pid).ravel()[home_slot] == p_out
+    # top kept its historic-max semantics (no growth from the round trip)
+    np.testing.assert_array_equal(np.asarray(g2.top), top1)
+
+
 def test_resident_materialize_roundtrip():
     """from_fluid -> to_fluid is the identity on the dynamic fields."""
     sim = _sim(False)  # plain engine sim for a prototype state

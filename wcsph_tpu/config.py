@@ -115,11 +115,15 @@ class SimConfig:
     # padded engine layout across steps; per-step incremental rebin replaces
     # the full sort/pack/unpack rebuild.  Requires use_pallas.
     resident: bool = False
-    # Full re-sort cadence (hole/bump-pointer reset).  Counted ON DEVICE
-    # (resident.rebin_auto lax.cond) — a full rebuild also fires whenever
-    # the per-step mover count exceeds the budget (spike response), so no
-    # particle is ever stale-binned and no host sync exists.
-    resident_rebuild_every: int = 8
+    # Full re-sort cadence.  Counted ON DEVICE (resident.rebin_auto
+    # lax.cond) — a full rebuild also fires whenever the per-step mover
+    # count exceeds the budget (spike response), so no particle is ever
+    # stale-binned and no host sync exists.  The incremental rebin fills
+    # holes from the occupancy bitmask and retries side-buffer particles
+    # every step, so the rebuild is only a rank-ceiling decay pass: the
+    # cadence can be long (the rebuild's ~164 ms at 1M amortizes to ~2.6
+    # ms/step at 64 vs ~20 ms at the pre-hole-filling 8).
+    resident_rebuild_every: int = 64
     # Mover budget as a fraction of N.  Every K-sized rebin op (sort, mover
     # gathers, apply scatters) scales with this budget, so it prices the
     # whole rebin: at 1M the rebin trace is ~136 ms at 0.25 and the scatter/

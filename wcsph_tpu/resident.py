@@ -18,18 +18,22 @@ Design (all static shapes, one jitted step, no host round-trips):
   cell changed: a slot-space cell check (elementwise), a particle-space
   compaction (one N-gather + cumsum + one N-scatter), then K-sized sorts,
   gathers and scatters for the movers (K = mover budget << N).  Movers
-  append at ``top[cell]`` (a per-cell bump pointer), so relocation is
-  collision-free without atomics: vacated ranks are below every bump
-  pointer, and same-cell movers get distinct ranks from their sort order.
-* Holes accumulate where movers left; the occupancy bitmasks (engine)
-  handle them, at a slowly growing sweep cost.  A **cadenced full rebuild**
-  (host-counted, every ``cfg.resident_rebuild_every`` steps — no per-step
-  device->host sync) re-sorts from scratch and resets the bump pointers.
+  fill the LOWEST free ranks of their destination cell, read from a
+  per-cell occupancy bitmask taken BEFORE any clear — so relocation is
+  collision-free without atomics (vacated slots still read occupied, and
+  same-cell movers take distinct free ranks from their sort order) and
+  holes REFILL instead of accumulating: each cell's occupied-rank ceiling
+  tracks its historic max occupancy, not its churn.
+* A **cadenced full rebuild** (host-counted, every
+  ``cfg.resident_rebuild_every`` steps — no per-step device->host sync)
+  re-sorts from scratch; with hole-filling it is a rare ceiling-decay
+  pass (default cadence 64), and the spike path (mover count > budget)
+  still takes it immediately via ``rebin_auto``'s ``lax.cond``.
 * Out-of-box movers and movers whose destination cell is full go to a
   small **side buffer**: they keep their state, take no interactions
   (exactly the reference's overflow semantics, HashGrid.py:73), and
-  re-enter at the next full rebuild.  Mover-budget overspill stays binned
-  at the old cell until the next rebuild and is counted in ``rebin_lost``.
+  retry EVERY step as rebin candidates — they re-enter the moment their
+  cell has room, like the reference's next-frame rebuild re-entry.
 """
 
 from __future__ import annotations
@@ -319,15 +323,24 @@ def rebin_auto(plan, cfg: SimConfig, rs: ResidentState, budget: int):
 def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
                       dyn: Sequence, side: SideBuffer, budget: int,
                       scan: MoverScan = None, n_liquid: int = None):
-    """Relocate the particles whose cell changed since placement.
+    """Relocate the particles whose cell changed since placement, and try to
+    re-seat every side-buffer particle whose cell has room again.
 
     Cost model at 1M (v5e measured primitives): one N-gather (~10 ms) +
-    N-cumsum + one N-scatter (~10 ms) for the mover compaction, then
-    everything is K-sized (budget = mover headroom << N).  Collision-
-    freedom: movers append at top[dest] + rank-in-sorted-run; vacated ranks
-    are < top everywhere, and top never decreases between full rebuilds, so
-    clears and sets touch disjoint slots.  Returns (grid', dyn', side')."""
+    N-cumsum + one N-scatter (~10 ms) for the mover compaction, one pass
+    over the padded valid mask for the occupancy bitmasks, then everything
+    is K-sized (budget = mover headroom << N).  Collision-freedom: arrivals
+    fill the LOWEST free ranks of their destination cell as read from the
+    PRE-move occupancy bitmask — a slot vacated this step still reads
+    occupied, so clears (occupied before) and sets (free before) touch
+    disjoint slots, and same-cell arrivals take distinct free ranks from
+    their sorted-run order.  Hole-filling keeps each cell's occupied-rank
+    ceiling at its historic maximum occupancy instead of growing with churn
+    (the bump-pointer scheme it replaces), so the cadenced full rebuild is
+    a rare decay pass, not a per-8-step necessity.
+    Returns (grid', dyn', side')."""
     C, P, PP, NX = plan.C, plan.P, plan.PP, plan.NX
+    assert C <= 31, "occupancy bitmask placement needs cell_capacity <= 31"
     nc = cfg.num_cells
     n = rgrid.slot.shape[0]
     nflat = NX * C * PP
@@ -354,21 +367,49 @@ def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
     mparts += [d.reshape(-1, nflat)[:, os_c] for d in dyn]
     mdata = jnp.concatenate(mparts, axis=0)      # (3 + D, K) — K-sized only
 
-    # --- rank movers within their destination cell (K-sort) ---
+    # --- side-buffer re-entry candidates (no slot to clear): every parked
+    # particle retries each step; the failures rebuild a fresh side buffer
+    # below, so re-entry is exactly "park only what still has no room" ---
+    S = side.pid.shape[0]
+    svalid = side.pid >= 0
+    s_cell, s_inbox = cell_of_positions(side.pos, cfg)
+    KT = budget + S
+    mvalid = jnp.concatenate([mvalid, svalid])
+    mpid = jnp.concatenate([mpid, jnp.maximum(side.pid, 0)])
+    old_slot = jnp.concatenate([old_slot, jnp.full((S,), nflat, jnp.int32)])
+    dest = jnp.concatenate([dest, jnp.where(svalid & s_inbox, s_cell, nc)])
+    mdata = jnp.concatenate(
+        [mdata, jnp.concatenate([side.pos, side.dyn], axis=0)], axis=1)
+
+    # --- rank candidates within their destination cell (K-sort) ---
     order = jnp.argsort(jnp.where(mvalid, dest, nc + 1))
     sdest = dest[order]
-    kio = jnp.arange(budget, dtype=jnp.int32)
+    kio = jnp.arange(KT, dtype=jnp.int32)
     change = jnp.concatenate([jnp.ones((1,), bool),
                               sdest[1:] != sdest[:-1]])
     run_start = jax.lax.cummax(jnp.where(change, kio, 0))
     rrank = kio - run_start
     s_ok = mvalid[order] & (sdest < nc)
     dc = jnp.minimum(sdest, nc - 1)
-    new_rank = jnp.where(s_ok, rgrid.top[dc] + rrank, C)
+
+    # --- placement: the (rrank+1)-th free rank of the destination cell,
+    # from the PRE-move occupancy bitmask (one pass over the valid mask;
+    # bit r of occ[plane, pp] = slot (plane, r, pp) occupied) ---
+    occ = jnp.sum(
+        (rgrid.pid >= 0).astype(jnp.int32)
+        << jnp.arange(C, dtype=jnp.int32)[None, :, None],
+        axis=1).reshape(NX * PP)                 # (NX*PP,)
+    px_d = dc // P
+    pp_d = dc - px_d * P
+    occ_m = occ[jnp.where(s_ok, (px_d + 1) * PP + (_MARGIN + pp_d), 0)]
+    bit_iota = jnp.arange(C, dtype=jnp.int32)[None, :]
+    free = 1 - ((occ_m[:, None] >> bit_iota) & 1)          # (KT, C)
+    freec = jnp.cumsum(free, axis=1)
+    hit = (free == 1) & (freec == (rrank + 1)[:, None])
+    new_rank = jnp.min(jnp.where(hit, bit_iota, C), axis=1)
     placed = s_ok & (new_rank < C)
-    new_slot = jnp.where(
-        placed, _flat_slot(plan, dc // P, new_rank, dc - (dc // P) * P),
-        nflat)
+    new_slot = jnp.where(placed, _flat_slot(plan, px_d, new_rank, pp_d),
+                         nflat)
     s_pid = jnp.where(mvalid[order], mpid[order], n)
     s_old = old_slot[order]
     s_data = mdata[:, order]
@@ -387,15 +428,16 @@ def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
         return jnp.concatenate([s_data[o + c] for c in range(k)])
 
     # s_pid == n only where new_slot == nflat, so both writes drop together.
-    # Clears and sets touch DISJOINT slots (movers land at top[dest]+rank,
-    # which is above every vacated rank — see docstring), so each buffer
-    # takes ONE scatter with concatenated clear+set indices, not two.
+    # Clears and sets touch DISJOINT slots (arrivals fill slots that were
+    # FREE in the pre-move occupancy; vacated slots read occupied there —
+    # see docstring), so each buffer takes ONE scatter with concatenated
+    # clear+set indices, not two.
     pid_f = rgrid.pid.ravel().at[
         jnp.concatenate([s_old, new_slot])].set(
         jnp.concatenate([jnp.full_like(s_old, -1), s_pid]), mode="drop")
     xp_f = rgrid.xp.reshape(3 * nflat).at[
         jnp.concatenate([_multi(s_old, 3), _multi(new_slot, 3)])].set(
-        jnp.concatenate([jnp.full((3 * budget,), EMPTY_POS, jnp.float32),
+        jnp.concatenate([jnp.full((3 * KT,), EMPTY_POS, jnp.float32),
                          _vals(0, 3)]), mode="drop")
     # liquid is derived, not scattered: only liquid particles ever move, so
     # the post-move mask is exactly (0 <= pid < n_liquid) — two scatters
@@ -412,39 +454,40 @@ def rebin_incremental(plan, cfg: SimConfig, rgrid: ResidentGrid,
             _vals(o, k), mode="drop")
         dyn_out.append(nd.reshape(d.shape))
         o += k
-    # bump pointers: one write per destination-cell RUN (unique indices; a
-    # duplicate-index scatter-add serializes on TPU).  The full run length
-    # is added even if the tail failed to place — the cell is full, so
-    # locking out further inserts until the rebuild is correct.
+    # top tracks each cell's HISTORIC max occupied rank + 1 (an upper bound
+    # on its count — holes only push ranks down, never up).  new_rank is
+    # monotone within a run (the (r+1)-th free slot is above the r-th), so
+    # the run's max placed rank is at want = min(run_len, nfree): one write
+    # per destination-cell RUN (unique indices; a duplicate-index
+    # scatter-add/max serializes on TPU).
     is_last_run = jnp.concatenate([sdest[1:] != sdest[:-1],
                                    jnp.ones((1,), bool)])
+    k_eff = jnp.minimum(rrank + 1, freec[:, -1])
+    hit_l = (free == 1) & (freec == k_eff[:, None])
+    last_rank = jnp.min(jnp.where(hit_l, bit_iota, C), axis=1)
     top = rgrid.top.at[
-        jnp.where(is_last_run & s_ok, dc, nc)].add(rrank + 1, mode="drop")
+        jnp.where(is_last_run & s_ok & (last_rank < C), dc, nc)].max(
+        last_rank + 1, mode="drop")
     slot = rgrid.slot.at[s_pid].set(
         jnp.where(placed, new_slot, -1), mode="drop")
 
-    # --- failures (cell full / out of box) park in the side buffer ---
+    # --- failures (cell full / out of box) rebuild a FRESH side buffer:
+    # the old side entries all re-entered the candidate list above, so the
+    # parked set is exactly the candidates that still have no room ---
     fail = mvalid[order] & ~placed
-    S = side.pid.shape[0]
-    fpos = side.n + jnp.cumsum(fail.astype(jnp.int32)) - 1
-    w = jnp.where(fail & (fpos < S), fpos, S)
-    side_pid = side.pid.at[w].set(s_pid, mode="drop")
-    # flat component-major scatters: one thunk per buffer, not per component
-    D = side.dyn.shape[0]
-
-    def _sflat(k):
-        return jnp.concatenate([jnp.where(w < S, w + c * S, k * S)
-                                for c in range(k)])
-
-    side_pos = (side.pos.reshape(-1)
-                .at[_sflat(3)].set(s_data[:3].reshape(-1), mode="drop")
-                .reshape(3, S))
-    side_dyn = (side.dyn.reshape(-1)
-                .at[_sflat(D)].set(s_data[3:].reshape(-1), mode="drop")
-                .reshape(D, S))
-    n_fail = jnp.sum(fail).astype(jnp.int32)
-    spill = jnp.maximum(side.n + n_fail - S, 0)  # lost outright
-    side_n = jnp.minimum(side.n + n_fail, S)
+    fcs = jnp.cumsum(fail.astype(jnp.int32))
+    # seat j <- index of the j-th failing candidate (gather, not scatter:
+    # the side arrays are rebuilt whole, S is small)
+    cand = jnp.full((S,), -1, jnp.int32).at[
+        jnp.where(fail & (fcs - 1 < S), fcs - 1, S)].set(
+        jnp.arange(KT, dtype=jnp.int32), mode="drop")
+    cc = jnp.maximum(cand, 0)
+    side_pid = jnp.where(cand >= 0, s_pid[cc], -1)
+    side_pos = s_data[:3, cc]
+    side_dyn = s_data[3:, cc]
+    n_fail = fcs[-1]
+    spill = jnp.maximum(n_fail - S, 0)           # lost outright
+    side_n = jnp.minimum(n_fail, S)
 
     grid = ResidentGrid(
         pid=pid_f.reshape(rgrid.pid.shape),
