@@ -221,6 +221,89 @@ def test_solver_step_engine_matches_xla(solver):
         assert max(trace[True][0]) > min_iters, trace
 
 
+@pytest.mark.parametrize("warm", [False, True])
+def test_fused_solver_iters_match_two_kernel(warm):
+    """cfg.fused_solver_iters (engine._build_fused_iter: kappa velocity
+    update + drho in ONE sequential-grid Mosaic program, fused warm starts
+    as receiver gates) must reproduce the two-kernel engine path on a
+    PRESSURIZED dam break, including iteration counts."""
+    from wcsph_tpu.simulation import Simulation, default_config
+
+    r = 0.025
+    sc = _squeezed_dam_break(r=r, side=8, box_extent=0.9, squeeze=0.92)
+    lo, hi = sc.domain(pad=4 * r)
+    out, trace = {}, {}
+    for fused in (False, True):
+        cfg = default_config("dfsph", particle_radius=r, domain_min=lo,
+                             domain_max=hi, use_pallas=True,
+                             pressure_warm_start=warm,
+                             divergence_warm_start=warm,
+                             fused_solver_iters=fused)
+        sim = Simulation(sc, cfg, solver="dfsph")
+        iters, maxk = [], 0.0
+        for _ in range(3):
+            sim.step()
+            iters.append((int(sim.state.diag.divergence_iters),
+                          int(sim.state.diag.pressure_iters)))
+            maxk = max(maxk, float(np.abs(np.asarray(
+                sim.state.kappa)).max()))
+        out[fused] = sim
+        trace[fused] = (iters, maxk)
+    assert trace[True][0] == trace[False][0], trace
+    # non-vacuous: the fused kernel must have done real pressure work on
+    # this compressed scene at SOME step (nonzero stiffness out of the
+    # pressure loop; the block relaxes after the first correction and
+    # advected_density clamps at 1.0, so the LAST step's kappa returns to
+    # exactly 0 — and DFSPH's min_iters can already converge this scene, so
+    # iters alone can't discriminate either)
+    assert trace[True][1] > 0.0, trace
+    np.testing.assert_allclose(np.asarray(out[True].state.pos),
+                               np.asarray(out[False].state.pos),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[True].state.vel),
+                               np.asarray(out[False].state.vel),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[True].state.kappa),
+                               np.asarray(out[False].state.kappa),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_iisph_iter_matches_two_kernel():
+    """cfg.fused_solver_iters on IISPH (engine.fused_dij_s: zero + dij + s
+    phases in one program) must reproduce the two-kernel engine path on a
+    pressurized scene, including Jacobi iteration counts."""
+    from wcsph_tpu.simulation import Simulation, default_config
+
+    r = 0.025
+    sc = _squeezed_dam_break(r=r, side=8, box_extent=0.9, squeeze=0.92)
+    lo, hi = sc.domain(pad=4 * r)
+    out, trace = {}, {}
+    for fused in (False, True):
+        cfg = default_config("iisph", particle_radius=r, domain_min=lo,
+                             domain_max=hi, use_pallas=True,
+                             fused_solver_iters=fused)
+        sim = Simulation(sc, cfg, solver="iisph")
+        iters, maxp = [], 0.0
+        for _ in range(3):
+            sim.step()
+            iters.append(int(sim.state.diag.pressure_iters))
+            maxp = max(maxp, float(np.abs(np.asarray(
+                sim.state.pressure)).max()))
+        out[fused] = sim
+        trace[fused] = (iters, maxp)
+    assert trace[True][0] == trace[False][0], trace
+    assert trace[True][1] > 0.0, trace          # real pressure work
+    np.testing.assert_allclose(np.asarray(out[True].state.pos),
+                               np.asarray(out[False].state.pos),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[True].state.vel),
+                               np.asarray(out[False].state.vel),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[True].state.pressure),
+                               np.asarray(out[False].state.pressure),
+                               rtol=2e-3, atol=1e-2)
+
+
 # ---------------------------------------------------------------------------
 # O(N^2) oracle for the IISPH pressure-solve ops — an INDEPENDENT
 # re-derivation of the pair sums (not the dense_ops twins), so a bug shared

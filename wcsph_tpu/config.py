@@ -136,6 +136,15 @@ class SimConfig:
     # Side-buffer capacity (dropped particles keeping state) as fraction of N.
     resident_side_frac: float = 0.02
 
+    # Fuse each DFSPH divergence/pressure iteration's kappa-velocity-update
+    # and drho sweeps into ONE Mosaic program (engine._build_fused_iter):
+    # per solver iteration this removes a kernel launch, the velocity-update
+    # fold, and the liquid-mask-add pass — on the remote-TPU platform each
+    # of those thunks pays a launch gap, 4-6x per step.  Engine path only;
+    # slab-decomposed runs ignore it (the fused kernel cannot halo-exchange
+    # mid-program).
+    fused_solver_iters: bool = True
+
     # AOT executable cache directory (utils/aot.py).  When set, Simulation
     # serializes the compiled step executable keyed on (config, shapes,
     # backend, jax version): a production restart deserializes in seconds

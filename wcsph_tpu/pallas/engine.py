@@ -633,6 +633,430 @@ def _fold_sym_pad(plan: _Plan, out: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Fused solver iteration: kappa velocity update + divergence in ONE kernel
+# ---------------------------------------------------------------------------
+
+def _fused_rows(plan: _Plan, px, q):
+    """Row-window slicer shared by the fused kernels: (comp, home/next row,
+    Wq lanes) of a padded (k, NX, C, PP) HBM ref."""
+    Q, Wq = plan.Q, plan.Wq
+
+    def rows(ref, comp, i):
+        return ref.at[comp, px + 1 + i, :, pl.ds(q * Q, Wq)]
+
+    return rows
+
+
+def _fused_pair_loop(plan: _Plan, h: float, act_ref, px, q, bacc, gate_buf):
+    """The half-window offset/rank-block pair loop shared by the fused
+    multi-phase kernels.  Returns ``run(nfield_bufs, emit, gated)``:
+    nfield_bufs maps emit field index -> (scratch, comp_base); emit.sym's
+    home/mirror channels are accumulated into ``bacc``, receiver-gated by
+    ``gate_buf`` comp 0 when ``gated``."""
+    NRB, Q, gz = plan.NRB, plan.Q, plan.gz
+    M = _MARGIN
+    h2 = h * h
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (8, 8, 1), 1))
+
+    def run(nfield_bufs, emit, gated):
+        oid = 0
+        for (dy, dz), dxs in _sym_offsets():
+            lin = M + dy * gz + dz
+            for dx in dxs:
+                is_zero = (dx, dy, dz) == (0, 0, 0)
+                m = act_ref[px, q, oid]
+                oid += 1
+
+                def offset_block(m=m, dx=dx, lin=lin, is_zero=is_zero):
+                    @pl.when(m != 0)
+                    def _():
+                        def rb_body(rbi, _):
+                            rbh = rbi // NRB
+                            rbn = rbi - rbh * NRB
+
+                            @pl.when(((m >> (rbh * NRB + rbn)) & 1) != 0)
+                            def _():
+                                hs = pl.ds(pl.multiple_of(rbh * 8, 8), 8)
+                                ns = pl.ds(pl.multiple_of(rbn * 8, 8), 8)
+
+                                def home(f, c=0):
+                                    buf, cb = nfield_bufs[f]
+                                    return buf[cb + c, 0, hs,
+                                               M:M + Q][:, None, :]
+
+                                def nbr(f, c=0):
+                                    buf, cb = nfield_bufs[f]
+                                    return buf[cb + c, dx, ns,
+                                               lin:lin + Q][None, :, :]
+
+                                r = tuple(home(0, c) - nbr(0, c)
+                                          for c in range(3))
+                                d2 = (r[0] * r[0] + r[1] * r[1]
+                                      + r[2] * r[2])
+                                mask = d2 <= h2
+                                if is_zero:
+                                    mask = mask & ~(eye & (rbh == rbn))
+                                ctx = PairCtx(r=r, d2=d2, mask=mask,
+                                              home=home, nbr=nbr, h=h)
+                                hvals, mvals = emit.sym(ctx)
+                                gh = (gate_buf[0, 0, hs, M:M + Q]
+                                      if gated else None)
+                                gn = (gate_buf[0, dx, ns, lin:lin + Q]
+                                      if gated else None)
+                                for ch in range(len(hvals)):
+                                    hv = hvals[ch]
+                                    if gh is not None:
+                                        hv = gh * hv
+                                    cur = bacc[ch, 0, hs, M:M + Q]
+                                    bacc[ch, 0, hs, M:M + Q] = cur + hv
+                                    if not is_zero:
+                                        mv = mvals[ch]
+                                        if gn is not None:
+                                            mv = gn * mv
+                                        curm = bacc[ch, dx, ns,
+                                                    lin:lin + Q]
+                                        bacc[ch, dx, ns, lin:lin + Q] \
+                                            = curm + mv
+                            return 0
+
+                        jax.lax.fori_loop(0, NRB * NRB, rb_body, 0,
+                                          unroll=False)
+
+                offset_block()
+
+    return run
+
+
+def _build_fused_iter(plan: _Plan, h: float, interpret: bool):
+    """One pallas_call per DFSPH divergence/pressure iteration: the reference
+    runs `kappa velocity update` then `drho` as two separate GPU passes per
+    iteration (dfsph.py:449-485/510-547); here both halves run inside a
+    single Mosaic program, eliminating the second kernel launch, the
+    overlap-add fold of the velocity update, and the liquid-mask-and-add XLA
+    pass between them — on the remote-TPU platform every one of those thunks
+    pays a launch gap, and the solver loops execute them 4-6x per step.
+
+    Mechanics (relies on the documented SEQUENTIAL execution of the TPU
+    pallas grid, phase axis slowest):
+
+      phase 0  (program px, q): RMW-accumulates
+                   vel[recv] += gate[recv] * sum_j V_j (k'_i + k'_j) gs r
+               straight into the velocity OUTPUT buffer (aliased to the
+               input velocity, so the buffer starts valid and inactive
+               programs touch nothing).  Half-window Newton emits: home
+               contributions land in row px+1, dx=1 mirrors in row px+2 —
+               earlier programs' partial sums are simply part of the
+               read-modify-write base.  k' is the kappa field PRE-scaled by
+               dt (the pair term is linear in k, so dt folds into the
+               field); `gate` is the per-receiver acceptance mask (liquid
+               for loop iterations, liquid & warm-start-predicate for the
+               fused warm starts).  It also zeroes its rows of the acc
+               output (all zero-writes precede every phase-1 write).
+      phase 1  (program px, q): reads the now-FINAL updated velocity rows
+               from the output buffer and RMW-accumulates the raw
+               divergence  acc[i] += sum_j V_j gs (v'_i - v'_j).r  into the
+               acc output (aliased to a dead caller buffer; rows this phase
+               writes were zeroed in phase 0).
+
+    Inactive programs (occupancy bitmask nz == 0) skip everything; any slot
+    whose chunk is inactive has no liquid in range, and both consumers of
+    acc at such slots are nil (alpha == 0 makes its kappa zero; the error
+    reduction is liquid-masked), so stale acc values there are benign.
+    Numerical contract: same per-pair math as _KappaAcc.sym/_DivAcc.sym
+    (shared bodies); accumulation ORDER differs from the two-kernel path
+    (one windowed accumulator instead of interior/margin splits), so
+    differential tests are tolerance-based like every engine-vs-XLA test."""
+    C, NRB, Q, Wq, nq = plan.C, plan.NRB, plan.Q, plan.Wq, plan.nq
+    gz = plan.gz
+    M = _MARGIN
+    h2 = h * h
+
+    # emit singletons: .sym reads only the PairCtx (pair math shared with
+    # the two-kernel path so the twins cannot drift)
+    k_emit = _KappaAcc.__new__(_KappaAcc)
+    d_emit = _DivAcc.__new__(_DivAcc)
+
+    def kernel(nz_ref, act_ref, xp, vol, gate, kf, vel_in, acc_in,
+               out_vel, out_acc, bxp, bvol, baux, bacc, zrow, sem):
+        del vel_in, acc_in      # read through their aliased output refs
+        ph = pl.program_id(0)
+        px = pl.program_id(1)
+        q = pl.program_id(2)
+
+        @pl.when((ph == 0) & (px == 0) & (q == 0))
+        def _():
+            # scratch persists across the sequential grid: one memset
+            zrow[...] = jnp.zeros(zrow.shape, zrow.dtype)
+
+        pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, baux)
+        rows = _fused_rows(plan, px, q)
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 0))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    # accumulation base: the current velocity rows
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_vel, c, i), bacc.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(vol, 0, i), bvol.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(gate, 0, i), baux.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(kf, 0, i), baux.at[1, i], sem))
+            # zero this program's acc rows: every zero-write belongs to
+            # phase 0, so they all precede every phase-1 accumulation
+            zcopies = [pltpu.make_async_copy(zrow.at[...],
+                                             rows(out_acc, 0, i), sem)
+                       for i in range(2)]
+            for cp in copies + zcopies:
+                cp.start()
+            for cp in copies + zcopies:
+                cp.wait()
+
+            # field map: 0 = xp, 1 = vol, 2 = k' (_KappaAcc order)
+            pair_sweep({0: (bxp, 0), 1: (bvol, 0), 2: (baux, 1)}, k_emit,
+                       gated=True)
+
+            wb = [pltpu.make_async_copy(bacc.at[c, i], rows(out_vel, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 1))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    # the UPDATED velocity (final: all phase-0 programs ran)
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_vel, c, i), baux.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(vol, 0, i), bvol.at[0, i], sem))
+                # accumulation base: the zeroed acc rows (+ earlier
+                # programs' mirror contributions)
+                copies.append(pltpu.make_async_copy(
+                    rows(out_acc, 0, i), bacc.at[0, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            # field map: 0 = xp, 1 = vol, 2 = vel3 (_DivAcc order)
+            pair_sweep({0: (bxp, 0), 1: (bvol, 0), 2: (baux, 0)}, d_emit,
+                       gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[0, i], rows(out_acc, 0, i),
+                                        sem)
+                  for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+    NX, PP = plan.NX, plan.PP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(2, plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxp
+            pltpu.VMEM((1, 2, C, Wq), jnp.float32),   # bvol
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # baux (gate+k' | vel')
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
+            pltpu.VMEM((C, Wq), jnp.float32),         # zrow
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+        ],
+        # indices count the scalar-prefetch operands: vel_in = 6,
+        # acc_in = 7 (verified semantics in interpret mode)
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )
+
+
+def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
+    """One pallas_call per IISPH Jacobi iteration: the dij sweep and the s_i
+    sweep (the reference's per-iteration kernel pair, iisph.py:318-370) run
+    as phases of one sequential-grid Mosaic program, with s consuming the
+    dij field straight from the output buffer — no fold, no re-pad, no
+    second launch per iteration.
+
+    Three phases (sequential grid, phase axis slowest):
+      phase 0: zero the dij and s rows this program's later phases (and its
+               neighbors' mirror emits) accumulate into — unlike the DFSPH
+               fused kernel there is no in-place RMW base, both outputs are
+               pure sums, and an accumulating phase cannot also zero (it
+               would wipe earlier programs' mirror contributions).
+      phase 1: dij_pj = sum_j fac_j gs r (half-window, RMW accumulate).
+      phase 2: s_i (dual-sided _IisphS.sym) reading dij home+neighbor rows
+               from the phase-1 output.
+
+    Runs on the FINE plan (the s body is the VMEM-heaviest sym kernel —
+    see SweepEngine.iisph_s).  Output buffers alias dead caller seeds;
+    stale values survive only in liquid-free chunks, where no consumer of
+    dij/s exists (the pressure update is err/p-masked exactly like the
+    two-kernel path's zero outputs — tests pin full-step equality)."""
+    C, Q, Wq, nq = plan.C, plan.Q, plan.Wq, plan.nq
+    h = cfg.support_radius
+
+    dij_emit = _IisphDij(cfg)
+    s_emit = _IisphS(cfg)
+
+    def kernel(nz_ref, act_ref, xp, fac, dii, p_liq, g, liq, sol,
+               dij_in, s_in, out_dij, out_s, bxp, bA, bB, bC, bacc, zrow,
+               sem):
+        del dij_in, s_in        # written through their aliased output refs
+        ph = pl.program_id(0)
+        px = pl.program_id(1)
+        q = pl.program_id(2)
+
+        @pl.when((ph == 0) & (px == 0) & (q == 0))
+        def _():
+            zrow[...] = jnp.zeros(zrow.shape, zrow.dtype)
+
+        pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, None)
+        rows = _fused_rows(plan, px, q)
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 0))
+        def _():
+            zc = [pltpu.make_async_copy(zrow.at[...], rows(out_dij, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            zc += [pltpu.make_async_copy(zrow.at[...], rows(out_s, 0, i),
+                                         sem) for i in range(2)]
+            for cp in zc:
+                cp.start()
+            for cp in zc:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 1))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(fac, 0, i), bC.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(out_dij, 0, i), bacc.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(out_dij, 1, i), bacc.at[1, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(out_dij, 2, i), bacc.at[2, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            # field map: 0 = xp, 1 = fac (_IisphDij order)
+            pair_sweep({0: (bxp, 0), 1: (bC, 0)}, dij_emit, gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[c, i], rows(out_dij, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 2))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(dii, c, i), bB.at[c, i], sem))
+                    # the FINAL dij field (all phase-1 programs ran)
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_dij, c, i), bA.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(p_liq, 0, i), bC.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(g, 0, i), bC.at[1, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(liq, 0, i), bC.at[2, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(sol, 0, i), bC.at[3, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(out_s, 0, i), bacc.at[0, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            # field map (_IisphS order): 0 = xp, 1 = dii, 2 = dij,
+            # 3 = p_liq, 4 = g, 5 = liq, 6 = sol
+            pair_sweep({0: (bxp, 0), 1: (bB, 0), 2: (bA, 0), 3: (bC, 0),
+                        4: (bC, 1), 5: (bC, 2), 6: (bC, 3)}, s_emit,
+                       gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[0, i], rows(out_s, 0, i),
+                                        sem)
+                  for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+    NX, PP = plan.NX, plan.PP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(3, plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 9,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxp
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bA (dij)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bB (dii)
+            pltpu.VMEM((4, 2, C, Wq), jnp.float32),   # bC (fac | p,g,liq,sol)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
+            pltpu.VMEM((C, Wq), jnp.float32),         # zrow
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+        ],
+        # indices count the scalar-prefetch operands: dij_in = 9, s_in = 10
+        input_output_aliases={9: 0, 10: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Op bodies (each mirrors its dense_ops twin; reference cites live there)
 # ---------------------------------------------------------------------------
 
@@ -1300,6 +1724,17 @@ def _interpret_default():
     return jax.default_backend() == "cpu"
 
 
+def use_fused_iters(comm, method: str) -> bool:
+    """Route a solver loop through its fused per-iteration kernel?  True iff
+    the config asks for it, half-window sweeps are on (the fused kernels are
+    inherently sym programs — WCSPH_SYM_SWEEPS=0 A/B-disables them too), and
+    the communicator's engine actually carries ``method`` (only the
+    single-device PaddedEngine does: the SlabEngine adapter cannot
+    halo-exchange between a fused kernel's phases)."""
+    return (comm.cfg.fused_solver_iters and SYM_SWEEPS
+            and hasattr(comm.engine, method))
+
+
 class SweepEngine:
     """Per-step prepared state + op entry points.
 
@@ -1649,6 +2084,36 @@ class PaddedEngine(SweepEngine):
     def pad_state(self, a, fill=0.0):
         """Packed (C, NC)/(k, C, NC) -> padded (entry glue, once per step)."""
         return _pad_field(self.plan, a, fill)
+
+    def fused_dij_s(self, fac, dii, p_liq, g, dij_seed, s_seed):
+        """(dij, s) of one IISPH Jacobi iteration in ONE kernel (see
+        _build_fused_iisph_iter; reference twin: the per-iteration dij_fn +
+        s_fn kernel pair, iisph.py:318-370).  ``dij_seed``/``s_seed`` are
+        dead buffers donated as the outputs' storage (cycle them through the
+        while_loop carry)."""
+        p = self.plan_fine
+        call = _build_fused_iisph_iter(p, self.cfg, self.interpret)
+        dij, s = call(self.nz_sym_f, self.act_sym_f, self.xp_pad,
+                      fac[None], dii, p_liq[None], g[None], self.liq_pad,
+                      self.sol_pad, dij_seed, s_seed[None])
+        return dij, s[0]
+
+    def fused_kappa_drho(self, velp, kfp, gatep, acc_seed):
+        """(vel', raw divergence accumulation of vel') in ONE kernel — the
+        per-iteration body of the DFSPH divergence/pressure solvers (see
+        _build_fused_iter; reference twin: the per-iteration
+        divergence_iter/pressure_iter kernel pair, dfsph.py:449-485 and
+        510-547).  ``kfp`` is the kappa field PRE-scaled by dt (the pair
+        term is linear in k); ``gatep`` the per-receiver acceptance mask as
+        f32 (liquid, or liquid & warm-start predicate); ``acc_seed`` any
+        dead (NX, C, PP) f32 buffer, donated as the acc output's storage.
+        ``velp`` is donated and updated in place."""
+        call = _build_fused_iter(self.plan, self.cfg.support_radius,
+                                 self.interpret)
+        vel, acc = call(self.nz_sym, self.act_sym, self.xp_pad,
+                        self.vol_pad, gatep[None], kfp[None], velp,
+                        acc_seed[None])
+        return vel, acc[0]
 
     def unpack_many(self, packed, defaults):
         """Per-liquid gather straight out of padded arrays (twin of

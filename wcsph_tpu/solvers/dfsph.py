@@ -57,6 +57,14 @@ class _SolveResult(NamedTuple):
     err_pre: jnp.ndarray  # density violation BEFORE the first correction
 
 
+def _use_fused(comm) -> bool:
+    """Route the DFSPH solver loops through the fused per-iteration kernel
+    (engine.fused_kappa_drho)?  See engine.use_fused_iters."""
+    from ..pallas.engine import use_fused_iters
+
+    return use_fused_iters(comm, "fused_kappa_drho")
+
+
 def divergence_solve(comm, velp, kvp, alphap, cntp, dt,
                      drho0=None) -> _SolveResult:
     """Divergence-free velocity solver (dfsph.py:131-146, 415-485).
@@ -66,6 +74,54 @@ def divergence_solve(comm, velp, kvp, alphap, cntp, dt,
     cfg = comm.cfg
     rho0 = cfg.rest_density
     cnt_l = comm.lift(cntp, 0)
+    fused = _use_fused(comm)
+
+    if fused:
+        # One Mosaic program per iteration: velocity update + drho of the
+        # UPDATED velocity (engine.fused_kappa_drho).  Exact twin of the
+        # two-sweep body below up to accumulation order.
+        liqf = comm.engine.liq_pad[0]
+
+        def post_div(acc):
+            return jnp.where(cntp < cfg.min_div_neighbors, 0.0,
+                             jnp.maximum(acc, 0.0))
+
+        if cfg.divergence_warm_start:
+            # warmstart_divergence_vel (dfsph.py:415-439): the per-receiver
+            # acceptance where(drho_ws > 0, vel_ws, vel) IS a gate field
+            k_ws = 0.5 * jnp.maximum(kvp / dt, -0.5 * rho0 * rho0)
+            drho_ws = (comm.engine.drho_divergence(velp, cntp)
+                       if drho0 is None else drho0)
+            velp, acc = comm.engine.fused_kappa_drho(
+                velp, dt * k_ws, liqf * (drho_ws > 0.0), drho_ws)
+            drho = post_div(acc)
+        else:
+            drho = comm.engine.drho_divergence(velp, cntp)
+
+        alpha_dt = alphap / dt
+        kvp = jnp.zeros_like(kvp)
+        threshold = cfg.dfsph_div_tol * comm.n_liquid() / dt
+
+        def body(carry):
+            velp, kvp, drho, err, it = carry
+            k = drho * alpha_dt
+            kvp = kvp + k
+            velp, acc = comm.engine.fused_kappa_drho(velp, dt * k, liqf,
+                                                     drho)
+            drho = post_div(acc)
+            err = comm.lsum(drho)
+            return velp, kvp, drho, err, it + 1
+
+        def cond(carry):
+            *_, err, it = carry
+            return (it == 0) | ((err > threshold)
+                                & (it < cfg.dfsph_div_max_iters))
+
+        err_pre = comm.lsum(drho)
+        velp, kvp, drho, err, iters = jax.lax.while_loop(
+            cond, body, (velp, kvp, drho, jnp.float32(0.0), jnp.int32(0)))
+        return _SolveResult(vel=velp, kappa=kvp * dt, iters=iters, err=err,
+                            err_pre=err_pre)
 
     if comm.engine is not None:
         def drho_of(velp):
@@ -121,6 +177,48 @@ def pressure_solve(comm, velp, kp, alphap, rhop, dt) -> _SolveResult:
     cfg = comm.cfg
     rho0 = cfg.rest_density
     rho_l = comm.lift(rhop, 1.0)
+    fused = _use_fused(comm)
+
+    if fused:
+        liqf = comm.engine.liq_pad[0]
+        rr0 = rhop / rho0
+
+        def post_adv(acc):
+            return jnp.maximum(rr0 + dt * acc, 1.0)
+
+        if cfg.pressure_warm_start:
+            k_ws = jnp.maximum(kp / (dt * dt), -0.5 * rho0 * rho0)
+            adv_ws = comm.engine.advected_density(velp, rhop, dt)
+            velp, acc = comm.engine.fused_kappa_drho(
+                velp, dt * k_ws, liqf * (adv_ws > 1.0), adv_ws)
+            adv = post_adv(acc)
+        else:
+            adv = comm.engine.advected_density(velp, rhop, dt)
+
+        alpha_dt2 = alphap / (dt * dt)
+        kp = jnp.zeros_like(kp)
+        n_liq = comm.n_liquid()
+
+        def body(carry):
+            velp, kp, adv, err, it = carry
+            k = (adv - 1.0) * alpha_dt2
+            kp = kp + k
+            velp, acc = comm.engine.fused_kappa_drho(velp, dt * k, liqf,
+                                                     adv)
+            adv = post_adv(acc)
+            err = comm.lsum(adv - 1.0) / n_liq
+            return velp, kp, adv, err, it + 1
+
+        def cond(carry):
+            *_, err, it = carry
+            return ((err > cfg.dfsph_tol) | (it < cfg.dfsph_min_iters)) \
+                & (it < cfg.dfsph_max_iters)
+
+        err_pre = comm.lsum(adv - 1.0) / n_liq
+        velp, kp, adv, err, iters = jax.lax.while_loop(
+            cond, body, (velp, kp, adv, jnp.float32(0.0), jnp.int32(0)))
+        return _SolveResult(vel=velp, kappa=kp * dt * dt, iters=iters,
+                            err=err, err_pre=err_pre)
 
     if comm.engine is not None:
         def adv_of(velp):

@@ -85,14 +85,12 @@ def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
     n_liq = comm.n_liquid()
     err_pre = comm.lsum(jnp.maximum(adv_rho - 1.0, 0.0)) / n_liq
 
-    def body(carry):
-        _, p_pre, err, it = carry
-        fac = jnp.where(liq, -v0 * p_pre / den_i2, 0.0)
-        dij = eng.iisph_dij(fac)
-        p_liq = jnp.where(liq, p_pre, 0.0)
-        g = v0 * p_pre / den_i2
-        s = eng.iisph_s(d_ii, dij, p_liq, g)
+    from ..pallas.engine import use_fused_iters
 
+    fused = use_fused_iters(comm, "fused_dij_s")
+
+    def _jacobi_tail(p_pre, s):
+        """Shared relaxed-Jacobi update + residual (iisph.py:336-370)."""
         b = 1.0 - adv_rho
         h2 = dt * dt
         denom = a_ii * h2
@@ -102,16 +100,47 @@ def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
             + cfg.iisph_omega / jnp.where(ok, denom, 1.0) * (b - h2 * s), 0.0)
         p_new = jnp.where(ok, p_new, 0.0)
         resid = jnp.where(p_new != 0.0, (a_ii * p_new + s) * h2 - b, 0.0)
-        err = comm.lsum(resid) / n_liq
-        return p_pre, p_new, err, it + 1
+        return p_new, comm.lsum(resid) / n_liq
 
-    def cond(carry):
-        *_, err, it = carry
-        return ((err > cfg.iisph_tol) | (it < cfg.iisph_min_iters)) \
-            & (it < cfg.iisph_max_iters)
+    if fused:
+        # One Mosaic program per iteration (engine.fused_dij_s: zero + dij
+        # + s phases); the output buffers cycle through the carry as the
+        # next iteration's donated storage.
+        def body(carry):
+            _, p_pre, err, it, dij_b, s_b = carry
+            fac = jnp.where(liq, -v0 * p_pre / den_i2, 0.0)
+            p_liq = jnp.where(liq, p_pre, 0.0)
+            g = v0 * p_pre / den_i2
+            dij_b, s_b = eng.fused_dij_s(fac, d_ii, p_liq, g, dij_b, s_b)
+            p_new, err = _jacobi_tail(p_pre, s_b)
+            return p_pre, p_new, err, it + 1, dij_b, s_b
 
-    _, pp, err, iters = jax.lax.while_loop(
-        cond, body, (p_init, p_init, jnp.float32(0.0), jnp.int32(0)))
+        def cond(carry):
+            _, _, err, it = carry[:4]
+            return ((err > cfg.iisph_tol) | (it < cfg.iisph_min_iters)) \
+                & (it < cfg.iisph_max_iters)
+
+        _, pp, err, iters, _, _ = jax.lax.while_loop(
+            cond, body, (p_init, p_init, jnp.float32(0.0), jnp.int32(0),
+                         jnp.zeros_like(d_ii), jnp.zeros_like(p_init)))
+    else:
+        def body(carry):
+            _, p_pre, err, it = carry
+            fac = jnp.where(liq, -v0 * p_pre / den_i2, 0.0)
+            dij = eng.iisph_dij(fac)
+            p_liq = jnp.where(liq, p_pre, 0.0)
+            g = v0 * p_pre / den_i2
+            s = eng.iisph_s(d_ii, dij, p_liq, g)
+            p_new, err = _jacobi_tail(p_pre, s)
+            return p_pre, p_new, err, it + 1
+
+        def cond(carry):
+            *_, err, it = carry
+            return ((err > cfg.iisph_tol) | (it < cfg.iisph_min_iters)) \
+                & (it < cfg.iisph_max_iters)
+
+        _, pp, err, iters = jax.lax.while_loop(
+            cond, body, (p_init, p_init, jnp.float32(0.0), jnp.int32(0)))
 
     # --- pressure force + integrate (iisph.py:372-396) ---
     d_vel_p = eng.iisph_force(pp / den_i2)

@@ -41,12 +41,39 @@ def _aval_sig(tree) -> str:
     return "|".join(parts)
 
 
+_SRC_FP = None
+
+
+def _source_fingerprint() -> str:
+    """Hash of the wcsph_tpu source tree (names, sizes, mtimes): a code
+    change must invalidate cached executables, or a framework upgrade would
+    silently keep running the OLD compiled step.  Stat-based (no file
+    reads), computed once per process."""
+    global _SRC_FP
+    if _SRC_FP is None:
+        import wcsph_tpu
+
+        pkg = os.path.dirname(os.path.abspath(wcsph_tpu.__file__))
+        h = hashlib.sha256()
+        for root, dirs, files in sorted(os.walk(pkg)):
+            dirs.sort()
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(f"{os.path.relpath(p, pkg)}:{st.st_size}:"
+                         f"{st.st_mtime_ns}\x00".encode())
+        _SRC_FP = h.hexdigest()[:16]
+    return _SRC_FP
+
+
 def cache_key(fn_tag: str, args, extra=()) -> str:
     """Key = everything that shapes the compiled program."""
     backend = jax.default_backend()
     nd = jax.device_count()
     raw = "\x00".join([
-        fn_tag, jax.__version__, backend, str(nd),
+        fn_tag, jax.__version__, backend, str(nd), _source_fingerprint(),
         _aval_sig(args), *[repr(e) for e in extra],
     ])
     return hashlib.sha256(raw.encode()).hexdigest()[:24]
