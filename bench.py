@@ -21,7 +21,7 @@ import numpy as np
 
 
 def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True,
-              aot_dir: str = ""):
+              aot_dir: str = "", fused: bool = True):
     from wcsph_tpu import dam_break
     from wcsph_tpu.simulation import Simulation, default_config
 
@@ -38,13 +38,15 @@ def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True,
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
                          cell_capacity=24 if use_pallas else 16,
-                         resident=resident, aot_dir=aot_dir)
+                         resident=resident, aot_dir=aot_dir,
+                         fused_solver_iters=fused)
     return Simulation(sc, cfg, solver=solver)
 
 
 def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
-               resident: bool = True, aot_dir: str = ""):
-    sim = build_sim(n_side, solver, resident=resident, aot_dir=aot_dir)
+               resident: bool = True, aot_dir: str = "", fused: bool = True):
+    sim = build_sim(n_side, solver, resident=resident, aot_dir=aot_dir,
+                    fused=fused)
     # resident mode: the rebuild branch compiles into the same step program
     # (resident.rebin_auto lax.cond), so the default warmup covers it; the
     # measured window contains cadenced rebuilds — their amortized runtime
@@ -90,6 +92,9 @@ def main():
                     choices=["sesph", "pcisph", "iisph", "dfsph"])
     ap.add_argument("--no-resident", action="store_true",
                     help="disable the resident packed state (resident.py)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the fused per-iteration solver kernels "
+                         "(engine._build_fused_iter) for A/B measurement")
     ap.add_argument("--aot", default="",
                     help="AOT executable cache dir (utils/aot.py): first run "
                          "compiles + serializes the step executable; a rerun "
@@ -111,7 +116,8 @@ def main():
             throughput, nl, tel = bench_once(side, args.warmup, args.steps,
                                              args.solver,
                                              resident=not args.no_resident,
-                                             aot_dir=args.aot)
+                                             aot_dir=args.aot,
+                                             fused=not args.no_fused)
             label = "1M" if nl >= 900_000 else ("100k" if nl >= 90_000 else str(nl))
             result = {
                 "metric": f"{args.solver}_particle_steps_per_sec_{label}",

@@ -15,7 +15,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-if [ $# -gt 0 ]; then stages=("$@"); else stages=(smoke harness bench trace hlo); fi
+if [ $# -gt 0 ]; then stages=("$@"); else stages=(smoke harness bench bench_ab trace hlo); fi
 
 run() { echo "=== $* ==="; "$@"; }
 
@@ -51,6 +51,12 @@ EOF
     ;;
   bench)
     run timeout 7200 python bench.py
+    ;;
+  bench_ab)
+    # fused-iteration A/B at 100k (fast compiles): quantifies the per-step
+    # thunk-count reduction on the real launch-gap-bound platform
+    run timeout 3600 python bench.py --side 47
+    run timeout 3600 python bench.py --side 47 --no-fused
     ;;
   trace)
     run timeout 7200 python scripts/trace_profile.py 100 3 24 resident
