@@ -264,3 +264,72 @@ def test_resident_materialize_roundtrip():
     for nm in RESIDENT_FIELDS:
         np.testing.assert_allclose(np.asarray(getattr(back, nm)),
                                    np.asarray(getattr(st, nm)), atol=0)
+
+
+def test_rebuild_matches_materialized_form():
+    """The slot-space rebuild (one stacked slot-to-slot gather through a
+    source map) is BIT-identical to the materialized form it replaced
+    (materialize -> build_grid_padded -> pack_many_padded -> park_unplaced)
+    — same argsort keys and tie order, same placement, same values — on a
+    mid-collapse state with a non-empty side buffer (re-entry covered)."""
+    sim = _sim(True, rebuild_every=1000)
+    for _ in range(5):
+        sim.step()
+    rs = sim._rs
+    cfg = sim.cfg
+    plan = make_plan(cfg, cfg.cell_capacity)
+
+    # park one liquid particle so the rebuild exercises side re-entry
+    slot0 = np.asarray(rs.grid.slot)
+    liq_flat = np.asarray(rs.grid.liquid).ravel()
+    p_out = next(p for p in range(sim.state.n_liquid)
+                 if slot0[p] >= 0 and liq_flat[slot0[p]])
+    hi = np.asarray(cfg.domain_max)
+    xp = rs.grid.xp.reshape(3, -1)
+    for c in range(3):
+        xp = xp.at[c, slot0[p_out]].set(float(hi[c] + 1.0))
+    budget = max(1024, int(slot0.shape[0] * cfg.resident_mover_frac))
+    g1, dyn1, side1 = resident.rebin_incremental(
+        plan, cfg, rs.grid._replace(xp=xp.reshape(rs.grid.xp.shape)),
+        rs.dyn, rs.side, budget)
+    assert int(side1.n) == 1
+    # pull it back in box so the rebuild re-seats it from the side buffer
+    seat = int(np.nonzero(np.asarray(side1.pid) == p_out)[0][0])
+    lo = np.asarray(cfg.domain_min)
+    mid = jnp.asarray((lo + hi) / 2.0, jnp.float32)
+    side1 = side1._replace(pos=side1.pos.at[:, seat].set(mid))
+    rs = rs._replace(grid=g1, dyn=tuple(dyn1), side=side1)
+
+    # materialized (old) form, inline
+    pos, dyn_particle = resident.materialize(rs.grid, rs.dyn, rs.side)
+    dyn_l = [d[..., :rs.n_liquid] for d in dyn_particle]
+    g_ref = resident.build_grid_padded(plan, pos, rs.n_liquid, cfg)
+    padded_ref = resident.pack_many_padded(plan, g_ref, dyn_l)
+    side_ref = resident.park_unplaced(
+        g_ref, pos, resident._stack_particle_dyn(dyn_l),
+        rs.side.pid.shape[0])
+
+    out = resident.rebuild(cfg, rs)
+    np.testing.assert_array_equal(np.asarray(out.grid.pid),
+                                  np.asarray(g_ref.pid))
+    np.testing.assert_array_equal(np.asarray(out.grid.slot),
+                                  np.asarray(g_ref.slot))
+    np.testing.assert_array_equal(np.asarray(out.grid.liquid),
+                                  np.asarray(g_ref.liquid))
+    np.testing.assert_array_equal(np.asarray(out.grid.top),
+                                  np.asarray(g_ref.top))
+    np.testing.assert_array_equal(np.asarray(out.grid.xp),
+                                  np.asarray(g_ref.xp))
+    for got, ref in zip(out.dyn, padded_ref):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(out.side.pid),
+                                  np.asarray(side_ref.pid))
+    np.testing.assert_array_equal(np.asarray(out.side.pos),
+                                  np.asarray(side_ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.side.dyn),
+                                  np.asarray(side_ref.dyn))
+    assert int(out.side.n) == int(side_ref.n)
+    assert int(out.grid.overflow) == int(side_ref.n)
+    assert int(out.grid.since_rebuild) == 0
+    # the re-seated particle is back on the grid
+    assert int(np.asarray(out.grid.slot)[p_out]) >= 0

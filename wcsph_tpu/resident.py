@@ -203,7 +203,10 @@ def _stack_particle_dyn(fields: Sequence) -> jnp.ndarray:
 def park_unplaced(rgrid: ResidentGrid, pos: jnp.ndarray,
                   dyn_stacked: jnp.ndarray, side_cap: int) -> SideBuffer:
     """Park every particle the build left without a slot (capacity overflow /
-    out of box) in a fresh side buffer, preserving its state."""
+    out of box) in a fresh side buffer, preserving its state.  A parked
+    SOLID keeps dyn = 0 (dyn_stacked is liquid-sized; solids never move —
+    without the mask a clamped gather would hand it the last liquid's
+    velocity and `advance` would drift it)."""
     n = rgrid.slot.shape[0]
     nl = dyn_stacked.shape[1]
     un = rgrid.slot < 0
@@ -213,7 +216,9 @@ def park_unplaced(rgrid: ResidentGrid, pos: jnp.ndarray,
         jnp.arange(n, dtype=jnp.int32), mode="drop")
     pc = jnp.maximum(pids, 0)
     return SideBuffer(pos=pos[:, pc],
-                      dyn=dyn_stacked[:, jnp.minimum(pc, nl - 1)],
+                      dyn=jnp.where((pids >= 0) & (pids < nl),
+                                    dyn_stacked[:, jnp.minimum(pc, nl - 1)],
+                                    0.0),
                       pid=pids,
                       n=jnp.minimum(csum[-1], side_cap))
 
@@ -240,20 +245,112 @@ def from_fluid(cfg: SimConfig, state, dyn_names: Sequence[str]
 
 
 def rebuild(cfg: SimConfig, rs: ResidentState) -> ResidentState:
-    """Full re-sort: compacts holes, resets bump pointers, and returns
-    side-buffer particles to the grid.  Same cost class as one non-resident
-    build+pack; taken by rebin_auto every cfg.resident_rebuild_every steps
-    or whenever the incremental mover budget would overflow."""
+    """Full re-sort IN SLOT SPACE: compacts holes, resets rank ceilings and
+    returns side-buffer particles to the grid — without materializing a
+    per-particle copy of the system first.  The materialized form
+    (materialize -> build_grid_padded -> pack_many_padded) paid a stacked
+    N-gather, a 3-component N-scatter of positions AND the (3+D)-component
+    nflat pack gather; here the new placement is derived from per-particle
+    cell ids read straight off the resident layout (one N-gather) and ALL
+    particle data moves with ONE stacked slot-to-slot gather through a
+    source map over the unified [grid slots | side seats | dead] address
+    space.  Argsort keys, tie order and every output value are
+    bit-identical to the materialized form
+    (tests/test_resident.py::test_rebuild_matches_materialized_form),
+    except that a parked SOLID now keeps dyn = 0 (see park_unplaced).
+    Taken by rebin_auto every cfg.resident_rebuild_every steps or whenever
+    the incremental mover budget would overflow."""
     plan = make_plan(cfg, cfg.cell_capacity)
+    rgrid, dyn, side = rs.grid, rs.dyn, rs.side
     n_liquid = rs.n_liquid
-    pos, dyn_particle = materialize(rs.grid, rs.dyn, rs.side)
-    dyn_l = [d[..., :n_liquid] for d in dyn_particle]
-    rgrid = build_grid_padded(plan, pos, n_liquid, cfg)
-    padded = pack_many_padded(plan, rgrid, dyn_l)
-    side = park_unplaced(rgrid, pos, _stack_particle_dyn(dyn_l),
-                         rs.side.pid.shape[0])
-    rgrid = rgrid._replace(overflow=side.n)
-    return rs._replace(grid=rgrid, dyn=tuple(padded), side=side)
+    C, P, NX = plan.C, plan.P, plan.NX
+    nc = cfg.num_cells
+    n = rgrid.slot.shape[0]
+    nflat = rgrid.pid.size
+    S = side.pid.shape[0]
+    dead = nflat + S
+
+    # unified per-particle source address: grid slot, side seat, or dead
+    # (invariant: slot == -1 iff parked; a spilled particle — beyond the
+    # side cap — reads the dead column: EMPTY_POS/0, which the materialized
+    # form also produced via the always-empty margin slot 0)
+    seat = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(side.pid >= 0, side.pid, n)].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop")
+    src_p = jnp.where(rgrid.slot >= 0, rgrid.slot,
+                      jnp.where(seat >= 0, nflat + seat, dead))
+
+    # per-particle cell ids off the resident layout (one N-gather)
+    cell_slot, in_slot = cell_of_positions(rgrid.xp.reshape(3, nflat), cfg)
+    s_cell, s_in = cell_of_positions(side.pos, cfg)
+    cell_ext = jnp.concatenate([jnp.where(in_slot, cell_slot, nc),
+                                jnp.where(s_in, s_cell, nc),
+                                jnp.full((1,), nc, jnp.int32)])
+    cell_id = cell_ext[src_p]
+
+    # argsort + rank-in-run placement: identical math to build_grid_padded
+    order = jnp.argsort(cell_id)
+    sorted_cell = cell_id[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.ones((1,), bool),
+                              sorted_cell[1:] != sorted_cell[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, iota, 0))
+    rank = iota - run_start
+    px = jnp.minimum(sorted_cell, nc - 1) // P
+    pp = jnp.minimum(sorted_cell, nc - 1) - px * P
+    flat = _flat_slot(plan, px, rank, pp)
+    ok = (rank < C) & (sorted_cell < nc)
+
+    pid = jnp.full((nflat,), -1, jnp.int32).at[
+        jnp.where(ok, flat, nflat)].set(order.astype(jnp.int32),
+                                        mode="drop").reshape(rgrid.pid.shape)
+    slot_all = jnp.full((n,), -1, jnp.int32).at[order].set(
+        jnp.where(ok, flat, -1))
+    liquid = (pid >= 0) & (pid < n_liquid)
+    is_last = jnp.concatenate([sorted_cell[1:] != sorted_cell[:-1],
+                               jnp.ones((1,), bool)])
+    top = jnp.zeros((nc,), jnp.int32).at[
+        jnp.where(is_last & (sorted_cell < nc), sorted_cell, nc)].set(
+            jnp.minimum(rank + 1, C), mode="drop")
+
+    # ONE stacked slot-to-slot gather moves xp + every dyn field (the
+    # leading-dim gather amortizes across components — scripts/prim_perf)
+    src_map = jnp.full((nflat,), dead, jnp.int32).at[
+        jnp.where(slot_all >= 0, slot_all, nflat)].set(src_p, mode="drop")
+    rows = 3 + sum(d.shape[0] if d.ndim == 4 else 1 for d in dyn)
+    source = jnp.concatenate([
+        jnp.concatenate([rgrid.xp.reshape(3, nflat)]
+                        + [d.reshape(-1, nflat) for d in dyn], axis=0),
+        jnp.concatenate([side.pos, side.dyn], axis=0),
+        jnp.concatenate([jnp.full((3, 1), EMPTY_POS, jnp.float32),
+                         jnp.zeros((rows - 3, 1), jnp.float32)])], axis=1)
+    got = source[:, src_map]
+    liq_f = liquid.ravel()
+    dyn_out, o = [], 3
+    for d in dyn:
+        k = d.shape[0] if d.ndim == 4 else 1
+        dyn_out.append(jnp.where(liq_f[None], got[o:o + k], 0.0)
+                       .reshape(d.shape))
+        o += k
+
+    # park the unplaced (capacity overflow / out of box) straight from the
+    # unified source space — park_unplaced's S-sized twin
+    un = slot_all < 0
+    csum = jnp.cumsum(un.astype(jnp.int32))
+    pids = jnp.full((S,), -1, jnp.int32).at[
+        jnp.where(un & (csum - 1 < S), csum - 1, S)].set(iota, mode="drop")
+    pdata = source[:, src_p[jnp.maximum(pids, 0)]]
+    side_new = SideBuffer(
+        pos=pdata[:3],
+        dyn=jnp.where((pids >= 0) & (pids < n_liquid), pdata[3:], 0.0),
+        pid=pids, n=jnp.minimum(csum[-1], S))
+
+    grid = ResidentGrid(pid=pid, liquid=liquid,
+                        xp=got[:3].reshape(rgrid.xp.shape),
+                        slot=slot_all, top=top, overflow=side_new.n,
+                        rebin_lost=jnp.int32(0),
+                        since_rebuild=jnp.int32(0))
+    return rs._replace(grid=grid, dyn=tuple(dyn_out), side=side_new)
 
 
 def to_fluid(rs: ResidentState, proto, dyn_names: Sequence[str]):
