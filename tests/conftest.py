@@ -18,6 +18,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the dense engine's scan graphs are slow to
-# compile on the single-core CPU; cache across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+# compile on the single-core CPU; cache across test runs.  Overridable so
+# CONCURRENT pytest processes don't share one cache dir — a reader racing a
+# writer on the same entry has produced a torn-read segfault in the cache
+# deserializer (observed 2026-08-18; two suites, one box).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("WCSPH_TEST_CACHE", "/tmp/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -304,6 +304,45 @@ def test_fused_iisph_iter_matches_two_kernel():
                                rtol=2e-3, atol=1e-2)
 
 
+def test_fused_pcisph_iter_matches_two_kernel():
+    """cfg.fused_solver_iters on PCISPH (engine.fused_pcisph_iter: zero +
+    predicted-density + pressure-update/acceleration phases in one program,
+    starred positions formed in VMEM) must reproduce the two-kernel engine
+    path on a pressurized scene, including prediction iteration counts —
+    and the scene must push the loop past its 3-iteration minimum."""
+    from wcsph_tpu.simulation import Simulation, default_config
+
+    r = 0.025
+    sc = _squeezed_dam_break(r=r, side=8, box_extent=0.9, squeeze=0.90)
+    lo, hi = sc.domain(pad=4 * r)
+    out, trace = {}, {}
+    for fused in (False, True):
+        cfg = default_config("pcisph", particle_radius=r, domain_min=lo,
+                             domain_max=hi, use_pallas=True,
+                             fused_solver_iters=fused)
+        sim = Simulation(sc, cfg, solver="pcisph")
+        iters, maxp = [], 0.0
+        for _ in range(3):
+            sim.step()
+            iters.append(int(sim.state.diag.pressure_iters))
+            maxp = max(maxp, float(np.abs(np.asarray(
+                sim.state.pressure)).max()))
+        out[fused] = sim
+        trace[fused] = (iters, maxp)
+    assert trace[True][0] == trace[False][0], trace
+    assert trace[True][1] > 0.0, trace          # real pressure work
+    assert max(trace[True][0]) > out[True].cfg.pcisph_min_iters, trace
+    np.testing.assert_allclose(np.asarray(out[True].state.pos),
+                               np.asarray(out[False].state.pos),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[True].state.vel),
+                               np.asarray(out[False].state.vel),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[True].state.pressure),
+                               np.asarray(out[False].state.pressure),
+                               rtol=2e-3, atol=1e-2)
+
+
 # ---------------------------------------------------------------------------
 # O(N^2) oracle for the IISPH pressure-solve ops — an INDEPENDENT
 # re-derivation of the pair sums (not the dense_ops twins), so a bug shared

@@ -1056,6 +1056,201 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
     )
 
 
+def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
+    """One pallas_call per PCISPH prediction iteration: the predicted-density
+    sweep, the stiffness pressure update and the pressure-acceleration sweep
+    (the reference's per-iteration update_iter_info + predict_density kernel
+    pair, pcisph.py:228-278) run as phases of ONE sequential-grid Mosaic
+    program.  The two-kernel path launches TWO full sweeps per iteration
+    (solvers/pcisph.py body: pcisph_predict with the old pressure for adv,
+    then again with the updated pressure for the acceleration) plus the XLA
+    pressure update and a full HBM xstar materialization; here the starred
+    positions are formed IN VMEM from the xp and vel_star rows, and the
+    pressure update happens between the phases on the already-resident rows.
+
+    Phases (sequential grid, phase axis slowest):
+      phase 0: zero the adv and acc rows later phases RMW-accumulate into.
+      phase 1: adv_raw[i] += sum_j V_j W(|xstar_i - xstar_j|) (half-window,
+               dual-sided emits).
+      phase 2: per-row p' = p + factor * (max(w0 + adv_raw, 1) - 1) with
+               adv_raw FINAL (all phase-1 programs ran); p' is written back
+               for the program's OWN plane core lanes only (disjoint
+               coverage — a full-window write would double-update the
+               overlap lanes a later q-chunk re-reads), and the
+               acceleration sweep runs with p' at home AND neighbor rows
+               (locally recomputed — deterministic, so every program sees
+               identical p' values regardless of write-back order).
+
+    Scalar operand ``consts`` (SMEM): [dt, factor = pci_coff/dt^2, w0].
+    Output aliasing: adv/acc alias dead caller seeds; p' aliases the
+    pressure input (margins and never-written rows keep their values; pp at
+    non-liquid slots is never consumed — see _PcisphPredict._coeffs).
+    Runs on the FINE plan (13 scratch row-buffers + the acc body's pair
+    temporaries).  Accumulation order differs from the two-kernel path, so
+    differential tests are tolerance-based like every engine-vs-XLA test."""
+    C, Q, Wq, nq = plan.C, plan.Q, plan.Wq, plan.nq
+    h = cfg.support_radius
+    M = _MARGIN
+
+    adv_emit = _PcisphAdvPart(cfg)
+    acc_emit = _PcisphAccPart(cfg)
+
+    def kernel(nz_ref, act_ref, consts, xp, vs, vol, liq, sol,
+               pp_in, adv_in, acc_in, out_adv, out_acc, out_pp,
+               bxs, bvs, bvol, bC, bacc, zrow, sem):
+        del pp_in, adv_in, acc_in   # read through their aliased output refs
+        ph = pl.program_id(0)
+        px = pl.program_id(1)
+        q = pl.program_id(2)
+
+        @pl.when((ph == 0) & (px == 0) & (q == 0))
+        def _():
+            zrow[...] = jnp.zeros(zrow.shape, zrow.dtype)
+
+        pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, None)
+        rows = _fused_rows(plan, px, q)
+
+        def starred():
+            # xstar rows in VMEM: liquid slots advect by vel_star * dt;
+            # solids and EMPTY_POS sentinels stay put (liq gate 0)
+            dt = consts[0]
+            for c in range(3):
+                for i in range(2):
+                    bxs[c, i] = bxs[c, i] + bC[1, i] * bvs[c, i] * dt
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 0))
+        def _():
+            zc = [pltpu.make_async_copy(zrow.at[...], rows(out_adv, 0, i),
+                                        sem) for i in range(2)]
+            zc += [pltpu.make_async_copy(zrow.at[...], rows(out_acc, c, i),
+                                         sem)
+                   for c in range(3) for i in range(2)]
+            for cp in zc:
+                cp.start()
+            for cp in zc:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 1))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxs.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(vs, c, i), bvs.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(vol, 0, i), bvol.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(liq, 0, i), bC.at[1, i], sem))
+                # accumulation base (earlier programs' mirror emits)
+                copies.append(pltpu.make_async_copy(
+                    rows(out_adv, 0, i), bacc.at[0, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            starred()
+            # field map (_PcisphPredict order): 0 = xstar, 1 = vol
+            pair_sweep({0: (bxs, 0), 1: (bvol, 0)}, adv_emit, gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[0, i], rows(out_adv, 0, i),
+                                        sem) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 2))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxs.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(vs, c, i), bvs.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_acc, c, i), bacc.at[c, i], sem))
+            for i in range(2):
+                # the FINAL adv field (all phase-1 programs ran)
+                copies.append(pltpu.make_async_copy(
+                    rows(out_adv, 0, i), bvol.at[0, i], sem))
+                # ORIGINAL pressure rows (phase-2 programs write only their
+                # own plane's core lanes, which no later program re-reads)
+                copies.append(pltpu.make_async_copy(
+                    rows(out_pp, 0, i), bC.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(liq, 0, i), bC.at[1, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(sol, 0, i), bC.at[2, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            starred()
+            factor = consts[1]
+            w0 = consts[2]
+            for i in range(2):
+                bC[0, i] = bC[0, i] + factor * (
+                    jnp.maximum(w0 + bvol[0, i], 1.0) - 1.0)
+            # own-plane core write-back of p' (disjoint across programs)
+            wpp = pltpu.make_async_copy(
+                bC.at[0, 0, :, M:M + Q],
+                out_pp.at[0, px + 1, :, pl.ds(q * Q + M, Q)], sem)
+            wpp.start()
+
+            # field map (_PcisphPredict order): 0 = xstar, 2 = p', 3 = liq,
+            # 4 = sol
+            pair_sweep({0: (bxs, 0), 2: (bC, 0), 3: (bC, 1), 4: (bC, 2)},
+                       acc_emit, gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[c, i], rows(out_acc, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+            wpp.wait()
+
+    NX, PP = plan.NX, plan.PP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(3, plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 8,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxs (xstar)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bvs (vel_star)
+            pltpu.VMEM((1, 2, C, Wq), jnp.float32),   # bvol (vol | adv)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bC (p', liq, sol)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
+            pltpu.VMEM((C, Wq), jnp.float32),         # zrow
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+        ],
+        # indices count the scalar-prefetch operands: pp_in = 8, adv_in = 9,
+        # acc_in = 10
+        input_output_aliases={9: 0, 10: 1, 8: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Op bodies (each mirrors its dense_ops twin; reference cites live there)
 # ---------------------------------------------------------------------------
@@ -1457,6 +1652,33 @@ class _PcisphPredict(_Emit):
         home += [-jnp.sum(c_hn * gs * ctx.r[c], axis=1) for c in range(3)]
         mirr += [jnp.sum(c_nh * gs * ctx.r[c], axis=0) for c in range(3)]
         return home, mirr
+
+
+class _PcisphAdvPart(_PcisphPredict):
+    """Phase body of the fused PCISPH iteration: predicted-density channel
+    only (the adv half of _PcisphPredict.sym — shared field numbering, so
+    the fused kernel's pair math cannot drift from the two-kernel twin)."""
+
+    n_out = 1
+
+    def sym(self, ctx: PairCtx):
+        wk = ctx.w()
+        return ([jnp.sum(ctx.nbr(1) * wk, axis=1)],
+                [jnp.sum(ctx.home(1) * wk, axis=0)])
+
+
+class _PcisphAccPart(_PcisphPredict):
+    """Phase body of the fused PCISPH iteration: pressure-acceleration
+    channels only, evaluated with the in-kernel UPDATED pressure (the acc
+    half of _PcisphPredict.sym; _coeffs inherited)."""
+
+    n_out = 3
+
+    def sym(self, ctx: PairCtx):
+        c_hn, c_nh = self._coeffs(ctx)
+        gs = ctx.gs()
+        return ([-jnp.sum(c_hn * gs * ctx.r[c], axis=1) for c in range(3)],
+                [jnp.sum(c_nh * gs * ctx.r[c], axis=0) for c in range(3)])
 
 
 class _IisphAdv(_Emit):
@@ -2114,6 +2336,26 @@ class PaddedEngine(SweepEngine):
                         self.vol_pad, gatep[None], kfp[None], velp,
                         acc_seed[None])
         return vel, acc[0]
+
+    def fused_pcisph_iter(self, vel_starp, pp, dt, coff, adv_seed,
+                          acc_seed):
+        """(adv_raw, pressure accel, p') of one PCISPH prediction iteration
+        in ONE kernel (see _build_fused_pcisph_iter; reference twin: the
+        per-iteration update_iter_info + predict_density kernel pair,
+        pcisph.py:228-278).  ``adv_seed``/``acc_seed`` are dead buffers
+        donated as the adv/acc outputs' storage; ``pp`` is donated and
+        returned updated (p' = p + coff/dt^2 * (adv - 1), liquid rows)."""
+        from ..kernels import cubic_w0
+        p = self.plan_fine
+        call = _build_fused_pcisph_iter(p, self.cfg, self.interpret)
+        w0 = self.cfg.liquid_volume * cubic_w0(self.cfg.support_radius)
+        consts = jnp.stack([dt, coff / (dt * dt),
+                            jnp.float32(w0)]).astype(jnp.float32)
+        adv, acc, pp_new = call(self.nz_sym_f, self.act_sym_f, consts,
+                                self.xp_pad, vel_starp, self.vol_pad,
+                                self.liq_pad, self.sol_pad, pp[None],
+                                adv_seed[None], acc_seed)
+        return adv[0], acc, pp_new[0]
 
     def unpack_many(self, packed, defaults):
         """Per-liquid gather straight out of padded arrays (twin of

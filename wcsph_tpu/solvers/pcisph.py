@@ -145,6 +145,43 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
     n_liq = comm.n_liquid()
     zero1 = jnp.zeros_like(velp[0])
 
+    from ..pallas.engine import use_fused_iters
+
+    if use_fused_iters(comm, "fused_pcisph_iter"):
+        # One Mosaic program per prediction iteration (engine.
+        # fused_pcisph_iter: zero + predicted-density + pressure-update/
+        # acceleration phases; xstar formed in VMEM — no HBM starred-
+        # position array, no second sweep launch).  The adv and acc output
+        # buffers cycle through the carry as the next iteration's donated
+        # storage (acc IS d_vel_pre).
+        eng = comm.engine
+        coff_f = jnp.float32(coff)
+
+        def body(carry):
+            d_vel_pre, pp, err, err_pre, it, adv_b = carry
+            vel_star = velp + (d_vel + d_vel_pre) * dt  # pcisph.py:228-235
+            adv_raw, acc3, pp = eng.fused_pcisph_iter(vel_star, pp, dt,
+                                                      coff_f, adv_b,
+                                                      d_vel_pre)
+            adv = jnp.maximum(w0 + adv_raw, 1.0)
+            err = comm.lsum(adv - 1.0) / n_liq
+            err_pre = jnp.where(it == 0, err, err_pre)
+            return acc3, pp, err, err_pre, it + 1, adv_raw
+
+        def cond(carry):
+            _, _, err, _err_pre, it = carry[:5]
+            return ((err > cfg.pcisph_tol) | (it < cfg.pcisph_min_iters)) \
+                & (it < cfg.pcisph_max_iters)
+
+        d_vel_pre, pp, err, err_pre, iters, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros_like(velp), zero1, jnp.float32(1.0),
+                         jnp.float32(0.0), jnp.int32(0),
+                         jnp.zeros_like(zero1)))
+
+        velp = velp + (d_vel + d_vel_pre) * dt          # pcisph.py:281-285
+        return MidResult(vel=velp, pressure=pp, iters=iters, err=err,
+                         err_pre=err_pre)
+
     def body(carry):
         d_vel_pre, pp, err, err_pre, it = carry
         vel_star = velp + (d_vel + d_vel_pre) * dt      # pcisph.py:228-235
