@@ -110,15 +110,29 @@ def main():
         pass
 
     sides = [args.side] if args.side else [100, 47]
+    # config ladder: full fast path first, then drop the fused per-iteration
+    # kernels, then the resident state — a compile/runtime failure in a new
+    # kernel must degrade the headline number, not zero it
+    ladder = [(not args.no_fused, not args.no_resident)]
+    if not args.no_fused:
+        ladder.append((False, not args.no_resident))
+    if not args.no_resident:
+        ladder.append((False, False))
     result = None
     for side in sides:
-        try:
-            throughput, nl, tel = bench_once(side, args.warmup, args.steps,
-                                             args.solver,
-                                             resident=not args.no_resident,
-                                             aot_dir=args.aot,
-                                             fused=not args.no_fused)
-            label = "1M" if nl >= 900_000 else ("100k" if nl >= 90_000 else str(nl))
+        for fused, res in ladder:
+            try:
+                throughput, nl, tel = bench_once(side, args.warmup,
+                                                 args.steps, args.solver,
+                                                 resident=res,
+                                                 aot_dir=args.aot,
+                                                 fused=fused)
+            except Exception as e:  # noqa: BLE001 - next rung / next size
+                print(f"[bench] side={side} fused={fused} resident={res} "
+                      f"failed: {type(e).__name__}: {e}", file=sys.stderr)
+                continue
+            label = ("1M" if nl >= 900_000
+                     else ("100k" if nl >= 90_000 else str(nl)))
             result = {
                 "metric": f"{args.solver}_particle_steps_per_sec_{label}",
                 "value": throughput,
@@ -126,9 +140,8 @@ def main():
                 "vs_baseline": throughput / 5.0e8,
             }
             break
-        except Exception as e:  # noqa: BLE001 - fall back to the next size
-            print(f"[bench] side={side} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+        if result is not None:
+            break
 
     if result is None:
         sys.exit(1)
