@@ -443,6 +443,55 @@ def test_iisph_ops_match_oracle():
     _close(jnp.where(liq[None], f_e, 0), o.put(f_o) * np.asarray(liq))
 
 
+def test_pcisph_predict_matches_oracle():
+    """O(N^2) oracle for the PCISPH predicted-density + pressure-accel op
+    (_PcisphPredict): independent re-derivation at STARRED positions with
+    the binning left at the original positions — the same contract the
+    fused per-iteration kernel inherits (fused == two-kernel is pinned by
+    test_fused_pcisph_iter_matches_two_kernel; two-kernel == this oracle
+    closes the shared-twin-bug hole for the op)."""
+    from wcsph_tpu import kernels
+
+    cfg, grid, eng, velp, _ = _setup(jitter=0.003)
+    rng = np.random.RandomState(11)
+    h = cfg.support_radius
+    liq = grid.liquid
+    shp = grid.pid.shape
+
+    # small starred displacement (<< cell) so binning-at-original still
+    # covers every starred pair, exactly the solver's CFL-bounded regime
+    dt = 5e-4
+    xstar = grid.xp + jnp.where(liq[None], velp * dt, 0.0)
+    pp = jnp.where(liq, jnp.abs(jnp.asarray(
+        rng.randn(*shp).astype(np.float32))), 0.0)
+    adv_e, acc_e = eng.pcisph_predict(xstar, pp)
+
+    o = _Oracle(grid, cfg)
+    xs = np.asarray(xstar.reshape(3, -1))[:, o.idx].T        # (n, 3)
+    r = xs[:, None, :] - xs[None, :, :]
+    d2 = (r ** 2).sum(-1)
+    n = len(o.idx)
+    mask = (d2 <= h * h) & ~np.eye(n, dtype=bool)
+    dist = np.sqrt(np.maximum(d2, 1e-30))
+    wk = np.where(mask, np.asarray(kernels.cubic_w_scalar(dist, h)), 0.0)
+    gs = np.where(mask, np.asarray(kernels.cubic_grad_scale(dist, h)), 0.0)
+
+    # engine outputs are contractually valid at LIQUID receivers only (the
+    # activity bitmasks skip rank blocks with no liquid in range; solid-slot
+    # adv/pp are never consumed — see _PcisphPredict._coeffs)
+    adv_o = (o.vol[None, :] * wk).sum(1)
+    _close(jnp.where(liq, adv_e, 0), o.put(adv_o.astype(np.float32))
+           * np.asarray(liq), rtol=1e-4)
+
+    p = o.take(pp)
+    psum = p[:, None] + p[None, :]
+    c_hn = np.where(o.liq[None, :], cfg.liquid_volume * psum,
+                    cfg.solid_volume * p[:, None]) * gs
+    acc_o = np.stack([-(c_hn * r[:, :, c]).sum(1) for c in range(3)])
+    _close(jnp.where(liq[None], acc_e, 0),
+           o.put(acc_o.astype(np.float32)) * np.asarray(liq), rtol=1e-4)
+
+
 def test_iisph_aii_sign_pressurized():
     """On a real compressed-fluid first step, a_ii must be negative at
     interior liquid slots (the Jacobi denominator; a wrong-diagonal engine
