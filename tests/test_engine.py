@@ -225,8 +225,10 @@ def test_solver_step_engine_matches_xla(solver):
 def test_fused_solver_iters_match_two_kernel(warm):
     """cfg.fused_solver_iters (engine._build_fused_iter: kappa velocity
     update + drho in ONE sequential-grid Mosaic program, fused warm starts
-    as receiver gates) must reproduce the two-kernel engine path on a
-    PRESSURIZED dam break, including iteration counts."""
+    as receiver gates; plus engine._build_fused_visc_iter: the whole
+    viscosity-PCG iteration incl. both global dots in one program) must
+    reproduce the two-kernel engine path on a PRESSURIZED dam break,
+    including divergence/pressure/viscosity iteration counts."""
     from wcsph_tpu.simulation import Simulation, default_config
 
     r = 0.025
@@ -244,7 +246,8 @@ def test_fused_solver_iters_match_two_kernel(warm):
         for _ in range(3):
             sim.step()
             iters.append((int(sim.state.diag.divergence_iters),
-                          int(sim.state.diag.pressure_iters)))
+                          int(sim.state.diag.pressure_iters),
+                          int(sim.state.diag.viscosity_iters)))
             maxk = max(maxk, float(np.abs(np.asarray(
                 sim.state.kappa)).max()))
         out[fused] = sim

@@ -1251,6 +1251,236 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
     )
 
 
+def _build_fused_visc_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
+    """One pallas_call per viscosity-PCG iteration: matvec sweep, BOTH
+    global dot products, and the x/r/d vector updates (the reference's
+    compute_viscosity_force kernel + its atomic-add scalar reductions,
+    dfsph.py:226-246) in ONE sequential-grid Mosaic program.
+
+    The PCG body is the last solver loop whose iteration was several
+    launches (matvec sweep + fold + ad finalize + 2 reductions + 3 axpys +
+    preconditioner apply); on the remote-TPU platform each pays a launch
+    gap.  The sequential grid makes in-kernel GLOBAL reductions legal: a
+    scalar SMEM scratch accumulates per-program partial dots, and any later
+    PHASE reads the finished total.
+
+    Phases (sequential grid, phase axis slowest):
+      phase 0: zero the acc rows (+ the scalar accumulators once).
+      phase 1: acc += sum_j c (d_i - d_j).r gs r   (_ViscAcc.sym half-window
+               sweep, overlap-add RMW — identical pair math to the
+               two-kernel path).
+      phase 2: ad = d - acc * dt/rho on own-core lanes; sacc[0] += the
+               program's liquid-masked partial of (d . ad).
+      phase 3: alpha = delta / (eps + sacc[0]);  x' = x + alpha d;
+               r' = liq * (r - alpha ad)  (the liquid mask preserves the
+               engine contract r = d = 0 at non-liquid slots — the matvec
+               reads NEIGHBOR d rows unmasked);  s = Minv r';
+               sacc[1] += liquid-masked partial of (r' . s).
+      phase 4: beta = sacc[1] / delta;  d' = liq * (s + beta d);  publish
+               [d_ad, delta'] to the scalar output (idempotent writes).
+
+    Elementwise phases touch OWN-CORE lanes only ((C, Q) per program,
+    disjoint coverage) — no overlap-add, no cross-program hazards.  alpha
+    and beta are recomputed per program from the finished SMEM totals
+    (deterministic).  Scalar operand ``consts`` (SMEM): [dt, delta].
+    x/r/d alias their inputs; acc aliases a dead seed cycled through the
+    while_loop carry; reduction ORDER of the dots differs from the XLA
+    lsum, so convergence tests are tolerance-based."""
+    C, Q, Wq, nq = plan.C, plan.Q, plan.Wq, plan.nq
+    h = cfg.support_radius
+    M = _MARGIN
+    eps = cfg.eps
+
+    v_emit = _ViscAcc(cfg)
+
+    def kernel(nz_ref, act_ref, consts, xp, rinv, liq, sol, minv,
+               x_in, r_in, d_in, acc_in, out_x, out_r, out_d, out_acc,
+               out_scal, bxp, bd, bA, bacc, bX, bR, bD, bC2, bS, bM, zrow,
+               sacc, sem):
+        del x_in, r_in, d_in, acc_in    # read through aliased output refs
+        ph = pl.program_id(0)
+        px = pl.program_id(1)
+        q = pl.program_id(2)
+
+        @pl.when((ph == 0) & (px == 0) & (q == 0))
+        def _():
+            zrow[...] = jnp.zeros(zrow.shape, zrow.dtype)
+            sacc[0] = 0.0
+            sacc[1] = 0.0
+
+        pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, None)
+        rows = _fused_rows(plan, px, q)
+
+        def core(ref, comp):
+            return ref.at[comp, px + 1, :, pl.ds(q * Q + M, Q)]
+
+        def load_core(pairs_list):
+            cps = [pltpu.make_async_copy(core(ref, comp), buf.at[k], sem)
+                   for ref, comp, buf, k in pairs_list]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+        def ad_core():
+            dt = consts[0]
+            return [bD[c] - bC2[c] * (dt * bS[0]) for c in range(3)]
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 0))
+        def _():
+            zc = [pltpu.make_async_copy(zrow.at[...], rows(out_acc, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in zc:
+                cp.start()
+            for cp in zc:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 1))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_d, c, i), bd.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_acc, c, i), bacc.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(rinv, 0, i), bA.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(liq, 0, i), bA.at[1, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(sol, 0, i), bA.at[2, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            # field map (_ViscAcc order): 0 = xp, 1 = d, 2 = rinv, 3 = liq,
+            # 4 = sol
+            pair_sweep({0: (bxp, 0), 1: (bd, 0), 2: (bA, 0), 3: (bA, 1),
+                        4: (bA, 2)}, v_emit, gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[c, i], rows(out_acc, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 2))
+        def _():
+            load_core([(out_d, c, bD, c) for c in range(3)]
+                      + [(out_acc, c, bC2, c) for c in range(3)]
+                      + [(rinv, 0, bS, 0), (liq, 0, bS, 1)])
+            ad = ad_core()
+            part = jnp.sum(bS[1] * sum(bD[c] * ad[c] for c in range(3)))
+            sacc[0] = sacc[0] + part
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 3))
+        def _():
+            load_core([(out_x, c, bX, c) for c in range(3)]
+                      + [(out_r, c, bR, c) for c in range(3)]
+                      + [(out_d, c, bD, c) for c in range(3)]
+                      + [(out_acc, c, bC2, c) for c in range(3)]
+                      + [(rinv, 0, bS, 0), (liq, 0, bS, 1)]
+                      + [(minv, c, bM, c) for c in range(6)])
+            ad = ad_core()
+            alpha = consts[1] / (eps + sacc[0])
+            lq = bS[1]
+            rn = []
+            for c in range(3):
+                bX[c] = bX[c] + alpha * bD[c]
+                rn.append(lq * (bR[c] - alpha * ad[c]))
+                bR[c] = rn[c]
+            s = (bM[0] * rn[0] + bM[1] * rn[1] + bM[2] * rn[2],
+                 bM[1] * rn[0] + bM[3] * rn[1] + bM[4] * rn[2],
+                 bM[2] * rn[0] + bM[4] * rn[1] + bM[5] * rn[2])
+            part = jnp.sum(lq * sum(rn[c] * s[c] for c in range(3)))
+            sacc[1] = sacc[1] + part
+            wb = [pltpu.make_async_copy(bX.at[c], core(out_x, c), sem)
+                  for c in range(3)]
+            wb += [pltpu.make_async_copy(bR.at[c], core(out_r, c), sem)
+                   for c in range(3)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+        @pl.when(ph == 4)
+        def _():
+            @pl.when((px == 0) & (q == 0))
+            def _():
+                out_scal[0] = eps + sacc[0]
+                out_scal[1] = sacc[1]
+
+            @pl.when(nz_ref[px, q] != 0)
+            def _():
+                load_core([(out_r, c, bR, c) for c in range(3)]
+                          + [(out_d, c, bD, c) for c in range(3)]
+                          + [(liq, 0, bS, 1)]
+                          + [(minv, c, bM, c) for c in range(6)])
+                beta = sacc[1] / consts[1]
+                lq = bS[1]
+                s = (bM[0] * bR[0] + bM[1] * bR[1] + bM[2] * bR[2],
+                     bM[1] * bR[0] + bM[3] * bR[1] + bM[4] * bR[2],
+                     bM[2] * bR[0] + bM[4] * bR[1] + bM[5] * bR[2])
+                for c in range(3):
+                    bD[c] = lq * (s[c] + beta * bD[c])
+                wb = [pltpu.make_async_copy(bD.at[c], core(out_d, c), sem)
+                      for c in range(3)]
+                for cp in wb:
+                    cp.start()
+                for cp in wb:
+                    cp.wait()
+
+    NX, PP = plan.NX, plan.PP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(5, plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 9,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxp
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bd (sweep d rows)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bA (rinv|liq|sol)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
+            pltpu.VMEM((3, C, Q), jnp.float32),       # bX core
+            pltpu.VMEM((3, C, Q), jnp.float32),       # bR core
+            pltpu.VMEM((3, C, Q), jnp.float32),       # bD core
+            pltpu.VMEM((3, C, Q), jnp.float32),       # bC2 core (acc)
+            pltpu.VMEM((2, C, Q), jnp.float32),       # bS core (rinv|liq)
+            pltpu.VMEM((6, C, Q), jnp.float32),       # bM core (Minv)
+            pltpu.VMEM((C, Wq), jnp.float32),         # zrow
+            pltpu.SMEM((2,), jnp.float32),            # sacc (dots)
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((2,), jnp.float32),
+        ],
+        # indices count the scalar-prefetch operands: x_in = 8, r_in = 9,
+        # d_in = 10, acc_in = 11
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Op bodies (each mirrors its dense_ops twin; reference cites live there)
 # ---------------------------------------------------------------------------
@@ -2356,6 +2586,22 @@ class PaddedEngine(SweepEngine):
                                 self.liq_pad, self.sol_pad, pp[None],
                                 adv_seed[None], acc_seed)
         return adv[0], acc, pp_new[0]
+
+    def fused_visc_iter(self, x, r, d, delta, rinvp, minv6, dt, acc_seed):
+        """(x', r', d', acc, [d_ad, delta']) of one viscosity-PCG iteration
+        in ONE kernel (see _build_fused_visc_iter; reference twin: the
+        per-iteration compute_viscosity_force kernel + atomic scalar
+        reductions, dfsph.py:226-246).  ``minv6`` is the block-Jacobi
+        preconditioner stacked (6, ...) in Sym3 component order;
+        ``acc_seed`` a dead buffer donated as the matvec accumulator;
+        x/r/d are donated and updated in place."""
+        p = self.plan_fine
+        call = _build_fused_visc_iter(p, self.cfg, self.interpret)
+        consts = jnp.stack([dt, delta]).astype(jnp.float32)
+        x, r, d, acc, scal = call(self.nz_sym_f, self.act_sym_f, consts,
+                                  self.xp_pad, rinvp[None], self.liq_pad,
+                                  self.sol_pad, minv6, x, r, d, acc_seed)
+        return x, r, d, acc, scal
 
     def unpack_many(self, packed, defaults):
         """Per-liquid gather straight out of padded arrays (twin of

@@ -159,10 +159,31 @@ def solve_dense(comm, velp: jnp.ndarray, vel_guessp: jnp.ndarray,
     delta0 = ldot(r0, d0)
 
     def cond(carry):
-        x, r, d, delta, it = carry
+        x, r, d, delta, it = carry[:5]
         keep = (it < cfg.max_cg_iters) & (delta > cfg.viscosity_err * delta0) \
             & (delta0 >= cfg.eps)
         return (it == 0) | keep
+
+    from .pallas.engine import use_fused_iters
+
+    if use_fused_iters(comm, "fused_visc_iter"):
+        # One Mosaic program per PCG iteration (engine.fused_visc_iter:
+        # matvec sweep + both global dots + the x/r/d updates); the matvec
+        # accumulator cycles through the carry as donated storage.
+        eng = comm.engine
+        rinv = 1.0 / jnp.maximum(rhop, 1.0)
+        minv6 = jnp.stack(list(minv))
+
+        def body(carry):
+            x, r, d, delta, it, acc_b = carry
+            x, r, d, acc_b, scal = eng.fused_visc_iter(
+                x, r, d, delta, rinv, minv6, dt, acc_b)
+            return x, r, d, scal[1], it + 1, acc_b
+
+        x, r, d, delta, iters, _ = jax.lax.while_loop(
+            cond, body, (x0, r0, d0, delta0, jnp.int32(0),
+                         jnp.zeros_like(x0)))
+        return ViscositySolution(vel_new=x, delta_v=x - velp, iters=iters)
 
     def body(carry):
         x, r, d, delta, it = carry
