@@ -896,6 +896,203 @@ def _build_fused_iter(plan: _Plan, h: float, interpret: bool):
     )
 
 
+def _build_fused_iter_full(plan: _Plan, cfg: SimConfig, interpret: bool):
+    """The WHOLE DFSPH divergence/pressure iteration in one pallas_call:
+    on top of _build_fused_iter's two sweeps (kappa velocity update + drho)
+    this variant also computes the per-iteration stiffness
+    k = (S + kbias) * alpha_coef, accumulates kappa, applies the
+    post-update (divergence clamp / advected-density clamp) to produce the
+    NEXT carried S field, and reduces the global density error through a
+    scalar SMEM accumulator — the loop body becomes ONE launch plus the
+    tiny consts/cond scalars (the two-kernel body left ~3-4 full-size XLA
+    thunks per iteration: k/kv elementwise, post clamp, error reduction —
+    dfsph.py:449-485/518-547 are the reference's per-iteration kernels).
+
+    Variant selection via ``consts`` (SMEM [dt, mode]):
+      mode 0 (divergence): k = S * A;  S' = max(paux * acc, 0) with paux
+              the min-neighbor gate;  err += sum liq S'.
+      mode 1 (pressure):   k = (S - 1) * A;  S' = max(paux + dt * acc, 1)
+              with paux = rho/rho0;  err += sum liq (S' - 1).
+    alpha_coef (A) is liquid-masked (boundary-kappa parity), so stale S at
+    liquid-free chunks can never leak into a pair term.  Phases: 0 = k/kv
+    update + gated velocity RMW sweep (k' formed in VMEM) + acc zeroing;
+    1 = drho sweep of the final velocity; 2 = core-lane post/error, with
+    the finished error published by the grid's last program."""
+    C, Q, Wq, nq = plan.C, plan.Q, plan.Wq, plan.nq
+    h = cfg.support_radius
+    M = _MARGIN
+
+    k_emit = _KappaAcc.__new__(_KappaAcc)
+    d_emit = _DivAcc.__new__(_DivAcc)
+
+    def kernel(nz_ref, act_ref, consts, xp, vol, gate, A, paux,
+               s_in, kv_in, vel_in, acc_in,
+               out_vel, out_acc, out_s, out_kv, out_scal,
+               bxp, bvol, baux, bacc, bcore, zrow, sacc, sem):
+        del s_in, kv_in, vel_in, acc_in   # read through aliased output refs
+        ph = pl.program_id(0)
+        px = pl.program_id(1)
+        q = pl.program_id(2)
+
+        @pl.when((ph == 0) & (px == 0) & (q == 0))
+        def _():
+            zrow[...] = jnp.zeros(zrow.shape, zrow.dtype)
+            sacc[0] = 0.0
+
+        pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, baux)
+        rows = _fused_rows(plan, px, q)
+
+        def core(ref, comp):
+            return ref.at[comp, px + 1, :, pl.ds(q * Q + M, Q)]
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 0))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_vel, c, i), bacc.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(vol, 0, i), bvol.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(gate, 0, i), baux.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(out_s, 0, i), baux.at[1, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(A, 0, i), baux.at[2, i], sem))
+            copies.append(pltpu.make_async_copy(
+                core(out_kv, 0), bcore.at[0], sem))
+            zcopies = [pltpu.make_async_copy(zrow.at[...],
+                                             rows(out_acc, 0, i), sem)
+                       for i in range(2)]
+            for cp in copies + zcopies:
+                cp.start()
+            for cp in copies + zcopies:
+                cp.wait()
+
+            dt = consts[0]
+            kbias = -consts[1]
+            # kappa accumulation on own-core lanes, from the PRE-overwrite
+            # S and A windows
+            bcore[0] = bcore[0] + ((baux[1, 0, :, M:M + Q] + kbias)
+                                   * baux[2, 0, :, M:M + Q])
+            wkv = pltpu.make_async_copy(bcore.at[0], core(out_kv, 0), sem)
+            wkv.start()
+            # k' = dt * (S + kbias) * A, formed in VMEM for both rows
+            for i in range(2):
+                baux[1, i] = dt * (baux[1, i] + kbias) * baux[2, i]
+
+            # field map (_KappaAcc order): 0 = xp, 1 = vol, 2 = k'
+            pair_sweep({0: (bxp, 0), 1: (bvol, 0), 2: (baux, 1)}, k_emit,
+                       gated=True)
+
+            wb = [pltpu.make_async_copy(bacc.at[c, i], rows(out_vel, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+            wkv.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 1))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_vel, c, i), baux.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(vol, 0, i), bvol.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(out_acc, 0, i), bacc.at[0, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            # field map (_DivAcc order): 0 = xp, 1 = vol, 2 = vel3
+            pair_sweep({0: (bxp, 0), 1: (bvol, 0), 2: (baux, 0)}, d_emit,
+                       gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[0, i], rows(out_acc, 0, i),
+                                        sem)
+                  for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 2))
+        def _():
+            copies = [
+                pltpu.make_async_copy(core(out_acc, 0), bcore.at[0], sem),
+                pltpu.make_async_copy(core(paux, 0), bcore.at[1], sem),
+                pltpu.make_async_copy(core(gate, 0), bcore.at[2], sem),
+            ]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+            dt = consts[0]
+            mode = consts[1]
+            s_div = jnp.maximum(bcore[1] * bcore[0], 0.0)
+            s_prs = jnp.maximum(bcore[1] + dt * bcore[0], 1.0)
+            s_new = jnp.where(mode > 0.5, s_prs, s_div)
+            bcore[0] = s_new
+            sacc[0] = sacc[0] + jnp.sum(bcore[2] * (s_new - mode))
+            wb = pltpu.make_async_copy(bcore.at[0], core(out_s, 0), sem)
+            wb.start()
+            wb.wait()
+
+        @pl.when((ph == 2) & (px == plan.gx - 1) & (q == nq - 1))
+        def _():
+            out_scal[0] = sacc[0]
+
+    NX, PP = plan.NX, plan.PP
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(3, plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 9,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxp
+            pltpu.VMEM((1, 2, C, Wq), jnp.float32),   # bvol
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # baux (gate,S/k',A | vel)
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
+            pltpu.VMEM((3, C, Q), jnp.float32),       # bcore (kv | acc,paux,liq)
+            pltpu.VMEM((C, Wq), jnp.float32),         # zrow
+            pltpu.SMEM((1,), jnp.float32),            # sacc (error)
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ],
+        # indices count the scalar-prefetch operands: s_in = 8, kv_in = 9,
+        # vel_in = 10, acc_in = 11
+        input_output_aliases={10: 0, 11: 1, 8: 2, 9: 3},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )
+
+
 def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
     """One pallas_call per IISPH Jacobi iteration: the dij sweep and the s_i
     sweep (the reference's per-iteration kernel pair, iisph.py:318-370) run
@@ -2586,6 +2783,25 @@ class PaddedEngine(SweepEngine):
                                 self.liq_pad, self.sol_pad, pp[None],
                                 adv_seed[None], acc_seed)
         return adv[0], acc, pp_new[0]
+
+    def fused_iter_full(self, velp, kvp, sp, alphacp, pauxp, dt, mode,
+                        acc_seed):
+        """(vel', acc, S', kv', [err]) — a WHOLE DFSPH divergence (mode 0)
+        or pressure (mode 1) iteration in ONE kernel (see
+        _build_fused_iter_full; reference twin: the per-iteration
+        divergence_iter/pressure_iter kernels, dfsph.py:449-485/518-547).
+        ``sp`` is the carried drho/advected-density field, ``alphacp`` the
+        liquid-masked alpha/dt (or alpha/dt^2) coefficient, ``pauxp`` the
+        min-neighbor gate (mode 0) or rho/rho0 (mode 1).  vel/kv/S are
+        donated in place; ``acc_seed`` a dead buffer donated as the raw
+        accumulation output; err returns through the scalar SMEM output."""
+        call = _build_fused_iter_full(self.plan, self.cfg, self.interpret)
+        consts = jnp.stack([dt, jnp.float32(mode)]).astype(jnp.float32)
+        vel, acc, s_new, kv, scal = call(
+            self.nz_sym, self.act_sym, consts, self.xp_pad, self.vol_pad,
+            self.liq_pad, alphacp[None], pauxp[None], sp[None], kvp[None],
+            velp, acc_seed[None])
+        return vel, acc[0], s_new[0], kv[0], scal
 
     def fused_visc_iter(self, x, r, d, delta, rinvp, minv6, dt, acc_seed):
         """(x', r', d', acc, [d_ad, delta']) of one viscosity-PCG iteration

@@ -101,25 +101,25 @@ def divergence_solve(comm, velp, kvp, alphap, cntp, dt,
         alpha_dt = alphap / dt
         kvp = jnp.zeros_like(kvp)
         threshold = cfg.dfsph_div_tol * comm.n_liquid() / dt
+        cnt_gate = (cntp >= cfg.min_div_neighbors).astype(jnp.float32)
 
         def body(carry):
-            velp, kvp, drho, err, it = carry
-            k = drho * alpha_dt
-            kvp = kvp + k
-            velp, acc = comm.engine.fused_kappa_drho(velp, dt * k, liqf,
-                                                     drho)
-            drho = post_div(acc)
-            err = comm.lsum(drho)
-            return velp, kvp, drho, err, it + 1
+            velp, kvp, drho, err, it, acc_b = carry
+            # the WHOLE iteration (k/kappa update, gated velocity sweep,
+            # drho sweep, divergence clamp, global error) is one kernel
+            velp, acc_b, drho, kvp, scal = comm.engine.fused_iter_full(
+                velp, kvp, drho, alpha_dt, cnt_gate, dt, 0.0, acc_b)
+            return velp, kvp, drho, scal[0], it + 1, acc_b
 
         def cond(carry):
-            *_, err, it = carry
+            _, _, _, err, it, _ = carry
             return (it == 0) | ((err > threshold)
                                 & (it < cfg.dfsph_div_max_iters))
 
         err_pre = comm.lsum(drho)
-        velp, kvp, drho, err, iters = jax.lax.while_loop(
-            cond, body, (velp, kvp, drho, jnp.float32(0.0), jnp.int32(0)))
+        velp, kvp, drho, err, iters, _ = jax.lax.while_loop(
+            cond, body, (velp, kvp, drho, jnp.float32(0.0), jnp.int32(0),
+                         jnp.zeros_like(drho)))
         return _SolveResult(vel=velp, kappa=kvp * dt, iters=iters, err=err,
                             err_pre=err_pre)
 
@@ -200,23 +200,21 @@ def pressure_solve(comm, velp, kp, alphap, rhop, dt) -> _SolveResult:
         n_liq = comm.n_liquid()
 
         def body(carry):
-            velp, kp, adv, err, it = carry
-            k = (adv - 1.0) * alpha_dt2
-            kp = kp + k
-            velp, acc = comm.engine.fused_kappa_drho(velp, dt * k, liqf,
-                                                     adv)
-            adv = post_adv(acc)
-            err = comm.lsum(adv - 1.0) / n_liq
-            return velp, kp, adv, err, it + 1
+            velp, kp, adv, err, it, acc_b = carry
+            # whole iteration in one kernel (mode 1: pressure variant)
+            velp, acc_b, adv, kp, scal = comm.engine.fused_iter_full(
+                velp, kp, adv, alpha_dt2, rr0, dt, 1.0, acc_b)
+            return velp, kp, adv, scal[0] / n_liq, it + 1, acc_b
 
         def cond(carry):
-            *_, err, it = carry
+            _, _, _, err, it, _ = carry
             return ((err > cfg.dfsph_tol) | (it < cfg.dfsph_min_iters)) \
                 & (it < cfg.dfsph_max_iters)
 
         err_pre = comm.lsum(adv - 1.0) / n_liq
-        velp, kp, adv, err, iters = jax.lax.while_loop(
-            cond, body, (velp, kp, adv, jnp.float32(0.0), jnp.int32(0)))
+        velp, kp, adv, err, iters, _ = jax.lax.while_loop(
+            cond, body, (velp, kp, adv, jnp.float32(0.0), jnp.int32(0),
+                         jnp.zeros_like(adv)))
         return _SolveResult(vel=velp, kappa=kp * dt * dt, iters=iters,
                             err=err, err_pre=err_pre)
 
