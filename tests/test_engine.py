@@ -272,9 +272,10 @@ def test_fused_solver_iters_match_two_kernel(warm):
 
 
 def test_fused_iisph_iter_matches_two_kernel():
-    """cfg.fused_solver_iters on IISPH (engine.fused_dij_s: zero + dij + s
-    phases in one program) must reproduce the two-kernel engine path on a
-    pressurized scene, including Jacobi iteration counts."""
+    """cfg.fused_solver_iters on IISPH (engine.fused_jacobi_iter: zero +
+    dij + s + Jacobi-update phases in one program, field prep in VMEM and
+    the residual reduced in-kernel) must reproduce the two-kernel engine
+    path on a pressurized scene, including Jacobi iteration counts."""
     from wcsph_tpu.simulation import Simulation, default_config
 
     r = 0.025

@@ -1094,37 +1094,47 @@ def _build_fused_iter_full(plan: _Plan, cfg: SimConfig, interpret: bool):
 
 
 def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
-    """One pallas_call per IISPH Jacobi iteration: the dij sweep and the s_i
-    sweep (the reference's per-iteration kernel pair, iisph.py:318-370) run
-    as phases of one sequential-grid Mosaic program, with s consuming the
-    dij field straight from the output buffer — no fold, no re-pad, no
-    second launch per iteration.
+    """The WHOLE IISPH Jacobi iteration in one pallas_call: the dij sweep,
+    the s_i sweep, the per-iteration field prep (fac / p_liq / g, formed in
+    VMEM from the carried pressure — the reference's per-iteration kernel
+    pair, iisph.py:318-370), the relaxed-Jacobi pressure update and the
+    global residual reduction (scalar SMEM accumulator).
 
-    Three phases (sequential grid, phase axis slowest):
-      phase 0: zero the dij and s rows this program's later phases (and its
-               neighbors' mirror emits) accumulate into — unlike the DFSPH
-               fused kernel there is no in-place RMW base, both outputs are
-               pure sums, and an accumulating phase cannot also zero (it
-               would wipe earlier programs' mirror contributions).
-      phase 1: dij_pj = sum_j fac_j gs r (half-window, RMW accumulate).
+    Four phases (sequential grid, phase axis slowest):
+      phase 0: zero the dij and s rows later phases (and their neighbors'
+               mirror emits) accumulate into — both outputs are pure sums,
+               and an accumulating phase cannot also zero (it would wipe
+               earlier programs' mirror contributions).
+      phase 1: dij_pj = sum_j fac_j gs r (half-window, RMW accumulate),
+               fac = -liq * deninv * p computed on the buffered rows.
       phase 2: s_i (dual-sided _IisphS.sym) reading dij home+neighbor rows
-               from the phase-1 output.
+               from the phase-1 output; p_liq = liq * p and g = deninv * p
+               computed on the buffered rows.
+      phase 3: own-core relaxed-Jacobi update
+               p' = ok ? max((1-w) p + w/(a_ii dt^2) (b - dt^2 s), 0) : 0
+               and the residual partial sum liq * ((a_ii p' + s) dt^2 - b)
+               gated on p' != 0; the finished sum is published by the
+               grid's last program.
 
     Runs on the FINE plan (the s body is the VMEM-heaviest sym kernel —
-    see SweepEngine.iisph_s).  Output buffers alias dead caller seeds;
-    stale values survive only in liquid-free chunks, where no consumer of
-    dij/s exists (the pressure update is err/p-masked exactly like the
-    two-kernel path's zero outputs — tests pin full-step equality)."""
+    see SweepEngine.iisph_s).  dij/s alias dead caller seeds; p aliases the
+    carried pressure (margins and liquid-free chunks keep their values —
+    their fac/p_liq/g are zero because the warm-start pressure is zero at
+    non-liquid slots and deninv/liq mask them).  Scalar operand ``consts``
+    (SMEM): [dt]."""
     C, Q, Wq, nq = plan.C, plan.Q, plan.Wq, plan.nq
     h = cfg.support_radius
+    M = _MARGIN
+    omega = cfg.iisph_omega
+    eps = cfg.eps
 
     dij_emit = _IisphDij(cfg)
     s_emit = _IisphS(cfg)
 
-    def kernel(nz_ref, act_ref, xp, fac, dii, p_liq, g, liq, sol,
-               dij_in, s_in, out_dij, out_s, bxp, bA, bB, bC, bacc, zrow,
-               sem):
-        del dij_in, s_in        # written through their aliased output refs
+    def kernel(nz_ref, act_ref, consts, xp, liq, sol, dii, deninv, aii,
+               bfld, p_in, dij_in, s_in, out_dij, out_s, out_p, out_scal,
+               bxp, bA, bB, bC, bacc, bcore, zrow, sacc, sem):
+        del p_in, dij_in, s_in  # read through their aliased output refs
         ph = pl.program_id(0)
         px = pl.program_id(1)
         q = pl.program_id(2)
@@ -1132,9 +1142,13 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
         @pl.when((ph == 0) & (px == 0) & (q == 0))
         def _():
             zrow[...] = jnp.zeros(zrow.shape, zrow.dtype)
+            sacc[0] = 0.0
 
         pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, None)
         rows = _fused_rows(plan, px, q)
+
+        def core(ref, comp):
+            return ref.at[comp, px + 1, :, pl.ds(q * Q + M, Q)]
 
         @pl.when((nz_ref[px, q] != 0) & (ph == 0))
         def _():
@@ -1157,7 +1171,11 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
                         rows(xp, c, i), bxp.at[c, i], sem))
             for i in range(2):
                 copies.append(pltpu.make_async_copy(
-                    rows(fac, 0, i), bC.at[0, i], sem))
+                    rows(out_p, 0, i), bC.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(deninv, 0, i), bC.at[1, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(liq, 0, i), bC.at[2, i], sem))
                 copies.append(pltpu.make_async_copy(
                     rows(out_dij, 0, i), bacc.at[0, i], sem))
                 copies.append(pltpu.make_async_copy(
@@ -1168,6 +1186,9 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
                 cp.start()
             for cp in copies:
                 cp.wait()
+            # fac = -liq * deninv * p on the buffered rows
+            for i in range(2):
+                bC[0, i] = -bC[2, i] * bC[1, i] * bC[0, i]
 
             # field map: 0 = xp, 1 = fac (_IisphDij order)
             pair_sweep({0: (bxp, 0), 1: (bC, 0)}, dij_emit, gated=False)
@@ -1194,9 +1215,9 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
                         rows(out_dij, c, i), bA.at[c, i], sem))
             for i in range(2):
                 copies.append(pltpu.make_async_copy(
-                    rows(p_liq, 0, i), bC.at[0, i], sem))
+                    rows(out_p, 0, i), bC.at[0, i], sem))
                 copies.append(pltpu.make_async_copy(
-                    rows(g, 0, i), bC.at[1, i], sem))
+                    rows(deninv, 0, i), bC.at[1, i], sem))
                 copies.append(pltpu.make_async_copy(
                     rows(liq, 0, i), bC.at[2, i], sem))
                 copies.append(pltpu.make_async_copy(
@@ -1207,6 +1228,10 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
                 cp.start()
             for cp in copies:
                 cp.wait()
+            # g = deninv * p; p_liq = liq * p (order matters: g first)
+            for i in range(2):
+                bC[1, i] = bC[1, i] * bC[0, i]
+                bC[0, i] = bC[2, i] * bC[0, i]
 
             # field map (_IisphS order): 0 = xp, 1 = dii, 2 = dij,
             # 3 = p_liq, 4 = g, 5 = liq, 6 = sol
@@ -1222,19 +1247,59 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
             for cp in wb:
                 cp.wait()
 
+        @pl.when((nz_ref[px, q] != 0) & (ph == 3))
+        def _():
+            copies = [
+                pltpu.make_async_copy(core(out_p, 0), bcore.at[0], sem),
+                pltpu.make_async_copy(core(out_s, 0), bcore.at[1], sem),
+                pltpu.make_async_copy(core(aii, 0), bcore.at[2], sem),
+                pltpu.make_async_copy(core(bfld, 0), bcore.at[3], sem),
+                pltpu.make_async_copy(core(liq, 0), bcore.at[4], sem),
+            ]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+            dt = consts[0]
+            h2 = dt * dt
+            denom = bcore[2] * h2
+            ok = jnp.abs(denom) > eps
+            p_new = jnp.maximum(
+                (1.0 - omega) * bcore[0]
+                + omega / jnp.where(ok, denom, 1.0)
+                * (bcore[3] - h2 * bcore[1]), 0.0)
+            p_new = jnp.where(ok, p_new, 0.0)
+            resid = jnp.where(p_new != 0.0,
+                              (bcore[2] * p_new + bcore[1]) * h2 - bcore[3],
+                              0.0)
+            sacc[0] = sacc[0] + jnp.sum(bcore[4] * resid)
+            bcore[0] = p_new
+            wb = pltpu.make_async_copy(bcore.at[0], core(out_p, 0), sem)
+            wb.start()
+            wb.wait()
+
+        @pl.when((ph == 3) & (px == plan.gx - 1) & (q == nq - 1))
+        def _():
+            out_scal[0] = sacc[0]
+
     NX, PP = plan.NX, plan.PP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(3, plan.gx, nq),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 9,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        grid=(4, plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxp
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bA (dij)
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bB (dii)
-            pltpu.VMEM((4, 2, C, Wq), jnp.float32),   # bC (fac | p,g,liq,sol)
+            pltpu.VMEM((4, 2, C, Wq), jnp.float32),   # bC (p/fac, deninv/g,
+                                                      #     liq, sol)
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
+            pltpu.VMEM((5, C, Q), jnp.float32),       # bcore (p,s,aii,b,liq)
             pltpu.VMEM((C, Wq), jnp.float32),         # zrow
+            pltpu.SMEM((1,), jnp.float32),            # sacc (residual)
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -1244,9 +1309,12 @@ def _build_fused_iisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
         out_shape=[
             jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
             jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
         ],
-        # indices count the scalar-prefetch operands: dij_in = 9, s_in = 10
-        input_output_aliases={9: 0, 10: 1},
+        # indices count the scalar-prefetch operands: p_in = 10, dij_in =
+        # 11, s_in = 12
+        input_output_aliases={11: 0, 12: 1, 10: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
@@ -2734,18 +2802,25 @@ class PaddedEngine(SweepEngine):
         """Packed (C, NC)/(k, C, NC) -> padded (entry glue, once per step)."""
         return _pad_field(self.plan, a, fill)
 
-    def fused_dij_s(self, fac, dii, p_liq, g, dij_seed, s_seed):
-        """(dij, s) of one IISPH Jacobi iteration in ONE kernel (see
-        _build_fused_iisph_iter; reference twin: the per-iteration dij_fn +
-        s_fn kernel pair, iisph.py:318-370).  ``dij_seed``/``s_seed`` are
-        dead buffers donated as the outputs' storage (cycle them through the
-        while_loop carry)."""
+    def fused_jacobi_iter(self, dii, deninvp, aiip, bp, pp, dt,
+                          dij_seed, s_seed):
+        """(dij, s, p', [resid_sum]) — a WHOLE IISPH Jacobi iteration in ONE
+        kernel (see _build_fused_iisph_iter; reference twin: the
+        per-iteration update_iter_info + update_pressure_force kernel pair,
+        iisph.py:318-370).  ``deninvp`` = V0 / den_i2 (fac/p_liq/g are
+        formed in VMEM from it and the carried pressure), ``aiip``/``bp``
+        the loop-invariant Jacobi diagonal and right-hand side.
+        ``dij_seed``/``s_seed`` are dead buffers donated as the sweep
+        outputs' storage (cycle them through the while_loop carry); ``pp``
+        is donated and returned updated."""
         p = self.plan_fine
         call = _build_fused_iisph_iter(p, self.cfg, self.interpret)
-        dij, s = call(self.nz_sym_f, self.act_sym_f, self.xp_pad,
-                      fac[None], dii, p_liq[None], g[None], self.liq_pad,
-                      self.sol_pad, dij_seed, s_seed[None])
-        return dij, s[0]
+        consts = jnp.stack([dt]).astype(jnp.float32)
+        dij, s, p_new, scal = call(
+            self.nz_sym_f, self.act_sym_f, consts, self.xp_pad,
+            self.liq_pad, self.sol_pad, dii, deninvp[None], aiip[None],
+            bp[None], pp[None], dij_seed, s_seed[None])
+        return dij, s[0], p_new[0], scal
 
     def fused_kappa_drho(self, velp, kfp, gatep, acc_seed):
         """(vel', raw divergence accumulation of vel') in ONE kernel — the

@@ -87,7 +87,7 @@ def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
 
     from ..pallas.engine import use_fused_iters
 
-    fused = use_fused_iters(comm, "fused_dij_s")
+    fused = use_fused_iters(comm, "fused_jacobi_iter")
 
     def _jacobi_tail(p_pre, s):
         """Shared relaxed-Jacobi update + residual (iisph.py:336-370)."""
@@ -103,25 +103,26 @@ def _step_middle_engine(comm, cfg: SimConfig, velp, vgp, pp, dt) -> MidResult:
         return p_new, comm.lsum(resid) / n_liq
 
     if fused:
-        # One Mosaic program per iteration (engine.fused_dij_s: zero + dij
-        # + s phases); the output buffers cycle through the carry as the
-        # next iteration's donated storage.
+        # One Mosaic program per iteration (engine.fused_jacobi_iter: zero
+        # + dij + s + Jacobi-update phases; fac/p_liq/g formed in VMEM and
+        # the residual reduced in-kernel); the sweep output buffers cycle
+        # through the carry as the next iteration's donated storage.
+        deninv = v0 / den_i2
+        b_rhs = 1.0 - adv_rho
+
         def body(carry):
-            _, p_pre, err, it, dij_b, s_b = carry
-            fac = jnp.where(liq, -v0 * p_pre / den_i2, 0.0)
-            p_liq = jnp.where(liq, p_pre, 0.0)
-            g = v0 * p_pre / den_i2
-            dij_b, s_b = eng.fused_dij_s(fac, d_ii, p_liq, g, dij_b, s_b)
-            p_new, err = _jacobi_tail(p_pre, s_b)
-            return p_pre, p_new, err, it + 1, dij_b, s_b
+            pp, err, it, dij_b, s_b = carry
+            dij_b, s_b, pp, scal = eng.fused_jacobi_iter(
+                d_ii, deninv, a_ii, b_rhs, pp, dt, dij_b, s_b)
+            return pp, scal[0] / n_liq, it + 1, dij_b, s_b
 
         def cond(carry):
-            _, _, err, it = carry[:4]
+            _, err, it = carry[:3]
             return ((err > cfg.iisph_tol) | (it < cfg.iisph_min_iters)) \
                 & (it < cfg.iisph_max_iters)
 
-        _, pp, err, iters, _, _ = jax.lax.while_loop(
-            cond, body, (p_init, p_init, jnp.float32(0.0), jnp.int32(0),
+        pp, err, iters, _, _ = jax.lax.while_loop(
+            cond, body, (p_init, jnp.float32(0.0), jnp.int32(0),
                          jnp.zeros_like(d_ii), jnp.zeros_like(p_init)))
     else:
         def body(carry):
