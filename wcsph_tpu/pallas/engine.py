@@ -1349,10 +1349,13 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
     Scalar operand ``consts`` (SMEM): [dt, factor = pci_coff/dt^2, w0].
     Output aliasing: adv/acc alias dead caller seeds; p' aliases the
     pressure input (margins and never-written rows keep their values; pp at
-    non-liquid slots is never consumed — see _PcisphPredict._coeffs).
-    Runs on the FINE plan (13 scratch row-buffers + the acc body's pair
-    temporaries).  Accumulation order differs from the two-kernel path, so
-    differential tests are tolerance-based like every engine-vs-XLA test."""
+    non-liquid slots is never consumed — see _PcisphPredict._coeffs).  The
+    global density error sum liq (max(w0 + adv, 1) - 1) accumulates into a
+    scalar SMEM scratch during phase 2 and is published by the grid's last
+    program.  Runs on the FINE plan (13 scratch row-buffers + the acc
+    body's pair temporaries).  Accumulation order differs from the
+    two-kernel path, so differential tests are tolerance-based like every
+    engine-vs-XLA test."""
     C, Q, Wq, nq = plan.C, plan.Q, plan.Wq, plan.nq
     h = cfg.support_radius
     M = _MARGIN
@@ -1361,8 +1364,8 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
     acc_emit = _PcisphAccPart(cfg)
 
     def kernel(nz_ref, act_ref, consts, xp, vs, vol, liq, sol,
-               pp_in, adv_in, acc_in, out_adv, out_acc, out_pp,
-               bxs, bvs, bvol, bC, bacc, zrow, sem):
+               pp_in, adv_in, acc_in, out_adv, out_acc, out_pp, out_scal,
+               bxs, bvs, bvol, bC, bacc, zrow, sacc, sem):
         del pp_in, adv_in, acc_in   # read through their aliased output refs
         ph = pl.program_id(0)
         px = pl.program_id(1)
@@ -1371,6 +1374,7 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
         @pl.when((ph == 0) & (px == 0) & (q == 0))
         def _():
             zrow[...] = jnp.zeros(zrow.shape, zrow.dtype)
+            sacc[0] = 0.0
 
         pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, None)
         rows = _fused_rows(plan, px, q)
@@ -1459,6 +1463,11 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
             starred()
             factor = consts[1]
             w0 = consts[2]
+            # density error of the OWN core lanes (disjoint coverage);
+            # published by the grid's last program below
+            sacc[0] = sacc[0] + jnp.sum(
+                bC[1, 0, :, M:M + Q]
+                * (jnp.maximum(w0 + bvol[0, 0, :, M:M + Q], 1.0) - 1.0))
             for i in range(2):
                 bC[0, i] = bC[0, i] + factor * (
                     jnp.maximum(w0 + bvol[0, i], 1.0) - 1.0)
@@ -1482,13 +1491,18 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
                 cp.wait()
             wpp.wait()
 
+        @pl.when((ph == 2) & (px == plan.gx - 1) & (q == nq - 1))
+        def _():
+            out_scal[0] = sacc[0]
+
     NX, PP = plan.NX, plan.PP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(3, plan.gx, nq),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.HBM)] * 8,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         scratch_shapes=[
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxs (xstar)
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bvs (vel_star)
@@ -1496,6 +1510,7 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bC (p', liq, sol)
             pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
             pltpu.VMEM((C, Wq), jnp.float32),         # zrow
+            pltpu.SMEM((1,), jnp.float32),            # sacc (error)
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -1506,6 +1521,7 @@ def _build_fused_pcisph_iter(plan: _Plan, cfg: SimConfig, interpret: bool):
             jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
             jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
             jax.ShapeDtypeStruct((1, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
         ],
         # indices count the scalar-prefetch operands: pp_in = 8, adv_in = 9,
         # acc_in = 10
@@ -2841,23 +2857,25 @@ class PaddedEngine(SweepEngine):
 
     def fused_pcisph_iter(self, vel_starp, pp, dt, coff, adv_seed,
                           acc_seed):
-        """(adv_raw, pressure accel, p') of one PCISPH prediction iteration
-        in ONE kernel (see _build_fused_pcisph_iter; reference twin: the
-        per-iteration update_iter_info + predict_density kernel pair,
-        pcisph.py:228-278).  ``adv_seed``/``acc_seed`` are dead buffers
-        donated as the adv/acc outputs' storage; ``pp`` is donated and
-        returned updated (p' = p + coff/dt^2 * (adv - 1), liquid rows)."""
+        """(adv_raw, pressure accel, p', [err_sum]) of one PCISPH
+        prediction iteration in ONE kernel (see _build_fused_pcisph_iter;
+        reference twin: the per-iteration update_iter_info +
+        predict_density kernel pair, pcisph.py:228-278).
+        ``adv_seed``/``acc_seed`` are dead buffers donated as the adv/acc
+        outputs' storage; ``pp`` is donated and returned updated
+        (p' = p + coff/dt^2 * (adv - 1), liquid rows); err_sum is the
+        in-kernel global sum liq (max(w0 + adv, 1) - 1)."""
         from ..kernels import cubic_w0
         p = self.plan_fine
         call = _build_fused_pcisph_iter(p, self.cfg, self.interpret)
         w0 = self.cfg.liquid_volume * cubic_w0(self.cfg.support_radius)
         consts = jnp.stack([dt, coff / (dt * dt),
                             jnp.float32(w0)]).astype(jnp.float32)
-        adv, acc, pp_new = call(self.nz_sym_f, self.act_sym_f, consts,
-                                self.xp_pad, vel_starp, self.vol_pad,
-                                self.liq_pad, self.sol_pad, pp[None],
-                                adv_seed[None], acc_seed)
-        return adv[0], acc, pp_new[0]
+        adv, acc, pp_new, scal = call(self.nz_sym_f, self.act_sym_f, consts,
+                                      self.xp_pad, vel_starp, self.vol_pad,
+                                      self.liq_pad, self.sol_pad, pp[None],
+                                      adv_seed[None], acc_seed)
+        return adv[0], acc, pp_new[0], scal
 
     def fused_iter_full(self, velp, kvp, sp, alphacp, pauxp, dt, mode,
                         acc_seed):

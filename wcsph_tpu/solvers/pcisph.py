@@ -160,11 +160,9 @@ def step_middle(comm, cfg: SimConfig, velp, dt) -> MidResult:
         def body(carry):
             d_vel_pre, pp, err, err_pre, it, adv_b = carry
             vel_star = velp + (d_vel + d_vel_pre) * dt  # pcisph.py:228-235
-            adv_raw, acc3, pp = eng.fused_pcisph_iter(vel_star, pp, dt,
-                                                      coff_f, adv_b,
-                                                      d_vel_pre)
-            adv = jnp.maximum(w0 + adv_raw, 1.0)
-            err = comm.lsum(adv - 1.0) / n_liq
+            adv_raw, acc3, pp, scal = eng.fused_pcisph_iter(
+                vel_star, pp, dt, coff_f, adv_b, d_vel_pre)
+            err = scal[0] / n_liq
             err_pre = jnp.where(it == 0, err, err_pre)
             return acc3, pp, err, err_pre, it + 1, adv_raw
 
