@@ -78,7 +78,8 @@ def _build(solver: str, scene: str, side: int = 20, use_pallas: bool = False):
     return Simulation(sc, cfg, solver=solver)
 
 
-def run_iters(solvers, steps: int, scene: str) -> list[dict]:
+def run_iters(solvers, steps: int, scene: str,
+              sim_time_target: float = 0.0) -> list[dict]:
     rows = []
     for solver in solvers:
         sim = _build(solver, scene)
@@ -91,12 +92,28 @@ def run_iters(solvers, steps: int, scene: str) -> list[dict]:
         for _ in range(steps // chunk):
             sim.run(chunk)
             tel = sim.telemetry()
+            # telemetry must stay finite for the whole run: a NaN here would
+            # silently poison the max()-based parity verdicts below
+            # (ADVICE r3), so fail loudly at the offending step instead
+            bad = [k for k, v in tel.items()
+                   if isinstance(v, float) and not np.isfinite(v)]
+            if bad:
+                raise FloatingPointError(
+                    f"non-finite telemetry {bad} for {solver}/{scene} at "
+                    f"t={tel['time']:.4f} ({len(stats['dt']) + 1} samples): "
+                    f"{tel}")
             stats["pressure"].append(tel.get("pressure_iters", 0))
             stats["divergence"].append(tel.get("divergence_iters", 0))
             stats["viscosity"].append(tel.get("viscosity_iters", 0))
             stats["err"].append(tel.get("density_error", 0.0))
             stats["err_pre"].append(tel.get("density_error_pre", 0.0))
             stats["dt"].append(tel["dt"])
+            # violent runs compare solvers over the SAME simulated window
+            # (fall + impact + collapse), not the same step count — fixed
+            # steps span different events across fixed-dt and adaptive-dt
+            # solvers (ADVICE r3)
+            if sim_time_target and tel["time"] >= sim_time_target:
+                break
         sim.check_health()
         tol, lo_i, hi_i = BANDS[solver]
         pr = stats["pressure"]
@@ -235,12 +252,13 @@ def main():
     except (OSError, json.JSONDecodeError):
         pass
     if args.suite in ("all", "iters"):
-        # the violent column needs ~0.25 s of free fall before impact; run it
-        # long enough (>= 800 fixed-dt steps) that the max-iteration samples
-        # cover the impact and collapse, not just the fall
+        # the violent column needs ~0.25 s of free fall before impact; every
+        # solver runs to the SAME simulated time (2.0 s: fall + impact +
+        # collapse) with a generous step cap so fixed-dt and adaptive-dt
+        # solvers are compared over the same physical events
         result["iters"] = (run_iters(solvers, args.steps, "canonical")
-                           + run_iters(solvers, max(args.steps, 800),
-                                       "violent"))
+                           + run_iters(solvers, max(args.steps, 4000),
+                                       "violent", sim_time_target=2.0))
     if args.suite in ("all", "throughput"):
         result["throughput"] = run_throughput(solvers, scales,
                                               args.bench_steps, args.warmup)
@@ -251,7 +269,10 @@ def main():
             args.bench_steps, args.warmup, scene="tension")
 
     with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
+        # allow_nan=False: results.json must stay strict RFC 8259 JSON; a
+        # non-finite value means corrupted parity evidence and the harness
+        # should fail loudly, not write bare NaN tokens (ADVICE r3)
+        json.dump(result, f, indent=1, allow_nan=False)
     with open(args.md, "w") as f:
         f.write(to_markdown(result))
     print(f"wrote {args.out} and {args.md}")

@@ -127,6 +127,11 @@ def state_to_numpy(state: FluidState) -> dict:
 
 def has_nan(state: FluidState) -> jnp.ndarray:
     """On-device NaN watchdog (reference checks one probe particle on host,
-    dfsph.py:645-647; we check everything)."""
-    leaves = [state.pos, state.vel, state.dt]
+    dfsph.py:645-647; we check everything).  Diagnostics scalars are covered
+    too: a NaN that reaches only the telemetry (e.g. through a solver error
+    reduction) corrupts parity evidence without ever touching pos/vel
+    (ADVICE r3)."""
+    d = state.diag
+    leaves = [state.pos, state.vel, state.dt,
+              d.density_error, d.density_error_pre, d.vel_max]
     return jnp.any(jnp.stack([jnp.any(jnp.isnan(x)) for x in leaves]))
