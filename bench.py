@@ -16,11 +16,15 @@ import time
 import numpy as np
 
 # Measured on one TPU v5e chip (see CLAUDE.md perf history): 3.3-3.5e6
-# particle-steps/s at 100k, 2.8e6 at 1M (resident packed state + sym sweep
-# v3 interior/margin outputs).
+# particle-steps/s at 100k, 2.74e6 at 1M.  Round-4 A/B on the chip
+# (ROADMAP.md) reconciled the resident-vs-rebuild question at 1M: the
+# per-step pack/build (fused, non-resident) measures 2.736e6 vs 2.517e6
+# resident — the incremental rebin's op chain costs more in axon launch gap
+# than the pack gather it saves — so the DEFAULT config is fused +
+# non-resident and resident mode is opt-in (--resident).
 
 
-def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True,
+def build_sim(n_side: int, solver: str = "dfsph", resident: bool = False,
               aot_dir: str = "", fused: bool = True):
     from wcsph_tpu import dam_break
     from wcsph_tpu.simulation import Simulation, default_config
@@ -44,7 +48,8 @@ def build_sim(n_side: int, solver: str = "dfsph", resident: bool = True,
 
 
 def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
-               resident: bool = True, aot_dir: str = "", fused: bool = True):
+               resident: bool = False, aot_dir: str = "", fused: bool = True):
+    t_build = time.time()
     sim = build_sim(n_side, solver, resident=resident, aot_dir=aot_dir,
                     fused=fused)
     # resident mode: the rebuild branch compiles into the same step program
@@ -63,8 +68,9 @@ def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
         sim.step()
     np.asarray(sim.state.pos)   # force full device sync (block_until_ready is
     # unreliable on the experimental axon platform)
+    warmup_s = time.time() - t0
     print(f"[bench] warmup ({warmup} steps incl. compile): "
-          f"{time.time() - t0:.1f}s", file=sys.stderr)
+          f"{warmup_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(steps):
@@ -77,7 +83,18 @@ def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
     print(f"[bench] {steps} steps in {elapsed:.3f}s -> "
           f"{nl * steps / elapsed:.3e} particle-steps/s; telemetry={tel}",
           file=sys.stderr)
-    return nl * steps / elapsed, nl, tel
+    # config metadata so the emitted JSON records EXACTLY what was measured
+    # (the fallback ladder can change the config; VERDICT r3 weak #7)
+    config = {
+        "engine": "pallas" if sim.cfg.use_pallas else "xla",
+        "fused_solver_iters": bool(fused),
+        "resident": bool(resident),
+        "cell_capacity": int(sim.cfg.cell_capacity),
+        "warmup_s": round(warmup_s, 1),
+        "build_s": round(t0 - t_build - warmup_s, 1),
+        "overflow": int(tel["neighbor_overflow"]),
+    }
+    return nl * steps / elapsed, nl, tel, config
 
 
 def main():
@@ -90,8 +107,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--solver", default="dfsph",
                     choices=["sesph", "pcisph", "iisph", "dfsph"])
-    ap.add_argument("--no-resident", action="store_true",
-                    help="disable the resident packed state (resident.py)")
+    ap.add_argument("--resident", action="store_true",
+                    help="enable the resident packed state (resident.py); "
+                         "measured SLOWER than the default per-step "
+                         "pack/build at 1M on v5e (2.52e6 vs 2.74e6, "
+                         "round-4 A/B) — kept for A/B and future work")
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused per-iteration solver kernels "
                          "(engine._build_fused_iter) for A/B measurement")
@@ -111,22 +131,21 @@ def main():
 
     sides = [args.side] if args.side else [100, 47]
     # config ladder: full fast path first, then drop the fused per-iteration
-    # kernels, then the resident state — a compile/runtime failure in a new
-    # kernel must degrade the headline number, not zero it
-    ladder = [(not args.no_fused, not args.no_resident)]
+    # kernels (and resident mode if enabled) — a compile/runtime failure in
+    # a new kernel must degrade the headline number, not zero it.  The JSON
+    # "config" field records which rung produced the number.
+    ladder = [(not args.no_fused, args.resident)]
     if not args.no_fused:
-        ladder.append((False, not args.no_resident))
-    if not args.no_resident:
+        ladder.append((False, args.resident))
+    if args.resident:
         ladder.append((False, False))
     result = None
     for side in sides:
         for fused, res in ladder:
             try:
-                throughput, nl, tel = bench_once(side, args.warmup,
-                                                 args.steps, args.solver,
-                                                 resident=res,
-                                                 aot_dir=args.aot,
-                                                 fused=fused)
+                throughput, nl, tel, config = bench_once(
+                    side, args.warmup, args.steps, args.solver,
+                    resident=res, aot_dir=args.aot, fused=fused)
             except Exception as e:  # noqa: BLE001 - next rung / next size
                 print(f"[bench] side={side} fused={fused} resident={res} "
                       f"failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -138,6 +157,8 @@ def main():
                 "value": throughput,
                 "unit": "particle-steps/s",
                 "vs_baseline": throughput / 5.0e8,
+                # which ladder rung produced the number (VERDICT r3 weak #7)
+                "config": config,
             }
             break
         if result is not None:
