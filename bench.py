@@ -25,7 +25,7 @@ import numpy as np
 
 
 def build_sim(n_side: int, solver: str = "dfsph", resident: bool = False,
-              aot_dir: str = "", fused: bool = True):
+              aot_dir: str = "", fused: bool = True, capacity: int = 0):
     from wcsph_tpu import dam_break
     from wcsph_tpu.simulation import Simulation, default_config
 
@@ -41,17 +41,18 @@ def build_sim(n_side: int, solver: str = "dfsph", resident: bool = False,
     use_pallas = True   # every solver runs on the Mosaic sweep engine
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
-                         cell_capacity=24 if use_pallas else 16,
+                         cell_capacity=capacity or (24 if use_pallas else 16),
                          resident=resident, aot_dir=aot_dir,
                          fused_solver_iters=fused)
     return Simulation(sc, cfg, solver=solver)
 
 
 def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
-               resident: bool = False, aot_dir: str = "", fused: bool = True):
+               resident: bool = False, aot_dir: str = "", fused: bool = True,
+               capacity: int = 0):
     t_build = time.time()
     sim = build_sim(n_side, solver, resident=resident, aot_dir=aot_dir,
-                    fused=fused)
+                    fused=fused, capacity=capacity)
     # resident mode: the rebuild branch compiles into the same step program
     # (resident.rebin_auto lax.cond), so the default warmup covers it; the
     # measured window contains cadenced rebuilds — their amortized runtime
@@ -115,6 +116,12 @@ def main():
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused per-iteration solver kernels "
                          "(engine._build_fused_iter) for A/B measurement")
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="cell capacity override (default 0 = engine "
+                         "default 24); slot count — and with it pack/"
+                         "scatter/pad cost — scales linearly with it, but "
+                         "too small a value overflows cells under "
+                         "compression (watch config.overflow in the JSON)")
     ap.add_argument("--aot", default="",
                     help="AOT executable cache dir (utils/aot.py): first run "
                          "compiles + serializes the step executable; a rerun "
@@ -145,7 +152,8 @@ def main():
             try:
                 throughput, nl, tel, config = bench_once(
                     side, args.warmup, args.steps, args.solver,
-                    resident=res, aot_dir=args.aot, fused=fused)
+                    resident=res, aot_dir=args.aot, fused=fused,
+                    capacity=args.capacity)
             except Exception as e:  # noqa: BLE001 - next rung / next size
                 print(f"[bench] side={side} fused={fused} resident={res} "
                       f"failed: {type(e).__name__}: {e}", file=sys.stderr)

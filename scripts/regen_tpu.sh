@@ -31,8 +31,7 @@ sc = dam_break(particle_radius=r, fluid_dims=(side,)*3,
                box_extent=side*2*r*1.35)
 lo, hi = sc.domain(pad=6*r)
 cfg = default_config("dfsph", particle_radius=r, domain_min=lo,
-                     domain_max=hi, use_pallas=True, cell_capacity=24,
-                     resident=True)
+                     domain_max=hi, use_pallas=True, cell_capacity=24)
 sim = Simulation(sc, cfg, solver="dfsph")
 for _ in range(5): sim.step()
 np.asarray(sim.state.pos)
@@ -59,7 +58,7 @@ EOF
     run timeout 3600 python bench.py --side 47 --no-fused
     ;;
   trace)
-    run timeout 7200 python scripts/trace_profile.py 100 3 24 resident
+    run timeout 7200 python scripts/trace_profile.py 100 3 24 nonresident
     ;;
   hlo)
     run timeout 7200 python scripts/hlo_count.py 100 dfsph
