@@ -71,10 +71,12 @@ def _build(solver: str, scene: str, side: int = 20, use_pallas: bool = False):
     else:
         raise ValueError(scene)
     lo, hi = sc.domain(pad=6 * r)
+    # resident mode measured slower than the per-step pack/build at scale
+    # (round-4 A/B, ROADMAP.md) — throughput rows run the bench default
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
                          cell_capacity=24 if use_pallas else 16,
-                         resident=use_pallas, **over)
+                         resident=False, **over)
     return Simulation(sc, cfg, solver=solver)
 
 
@@ -248,7 +250,12 @@ def main():
     result = {"backend": jax.default_backend()}
     try:
         with open(args.out) as f:
-            result = {**json.load(f), "backend": jax.default_backend()}
+            # json.load accepts bare NaN tokens; sanitize anything carried
+            # over from a pre-strictness file so the final strict dump
+            # cannot be failed by STALE data (fresh rows are validated
+            # loudly in run_iters)
+            prev = json.load(f, parse_constant=lambda _: None)
+            result = {**prev, "backend": jax.default_backend()}
     except (OSError, json.JSONDecodeError):
         pass
     if args.suite in ("all", "iters"):

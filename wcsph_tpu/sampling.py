@@ -63,9 +63,11 @@ def _surface_samples(verts: np.ndarray, faces: np.ndarray, radius: float,
     total = float(areas.sum())
     n = int(density * total / (math.pi * radius * radius))
     rng = np.random.default_rng(seed)
-    # inverse-CDF area-weighted face choice
+    # inverse-CDF area-weighted face choice; float rounding can leave
+    # cdf[-1] slightly below 1.0, in which case searchsorted returns an
+    # out-of-range index for draws above it — clamp to the last face
     cdf = np.cumsum(areas) / total
-    fi = np.searchsorted(cdf, rng.random(n))
+    fi = np.minimum(np.searchsorted(cdf, rng.random(n)), len(areas) - 1)
     r1 = np.sqrt(rng.random(n))
     r2 = rng.random(n)
     bc1 = 1.0 - r1
