@@ -54,3 +54,24 @@ def test_sampling_deterministic():
     p1 = poisson_disk_sample(v, f, r, trials=2, seed=7)
     p2 = poisson_disk_sample(v, f, r, trials=2, seed=7)
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_sampling_chunked_spacing():
+    """The z-chunked path (big artist shells whose dense cell tables would
+    not fit device memory) keeps the minimum-spacing guarantee ACROSS chunk
+    boundaries and yields comparable coverage to the one-chunk run."""
+    r = 0.1
+    v, f = _unit_cube_mesh()
+    full = poisson_disk_sample(v, f, r, trials=4, seed=3)
+    # force ~6 z-chunks on the same mesh (cube grid is ~20^3 cells)
+    chunked = poisson_disk_sample(v, f, r, trials=4, seed=3, max_cells=3200)
+    assert 0.7 * full.shape[0] < chunked.shape[0] < 1.3 * full.shape[0]
+    d2 = np.sum((chunked[:, None, :] - chunked[None, :, :]) ** 2, axis=-1)
+    np.fill_diagonal(d2, 1e9)
+    same_plane = np.zeros_like(d2, dtype=bool)
+    for d in range(3):
+        for val in (0.0, 1.0):
+            m = np.abs(chunked[:, d] - val) < 1e-4
+            same_plane |= m[:, None] & m[None, :]
+    viol = (d2 < (0.999 * r) ** 2) & same_plane
+    assert not viol.any(), np.sqrt(d2[viol]).min()

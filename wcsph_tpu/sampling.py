@@ -115,11 +115,12 @@ def _shift(a, o: int, fill):
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _phase_step(prob: _Problem, phase, trial,
+def _phase_step(prob: _Problem, phase, trial, z0,
                 tp, tn, tf, acc_p, acc_n, acc_f, acc_cnt):
     """Try the trial-th binned sample of every phase-colored cell.
     ``phase`` and ``trial`` are traced scalars: all 27 * trials steps share
-    ONE compiled program."""
+    ONE compiled program.  ``z0`` is the chunk's global z-cell origin so
+    phase colors stay globally consistent under z-chunking."""
     gx, gy, gz = prob.grid_res
     nc = gx * gy * gz
     a_cap = prob.accept_cap
@@ -129,7 +130,7 @@ def _phase_step(prob: _Problem, phase, trial,
     cx = idx // (gy * gz)
     cy = (idx // gz) % gy
     cz = idx % gz
-    in_phase = ((cx % 3) + 3 * (cy % 3) + 9 * (cz % 3)) == phase
+    in_phase = ((cx % 3) + 3 * (cy % 3) + 9 * ((cz + z0) % 3)) == phase
 
     cand_p = jax.lax.dynamic_index_in_dim(tp, trial, 1, keepdims=False)
     cand_n = jax.lax.dynamic_index_in_dim(tn, trial, 1, keepdims=False)
@@ -173,14 +174,56 @@ def _phase_step(prob: _Problem, phase, trial,
     return acc_p, acc_n, acc_f, acc_cnt
 
 
+def _run_chunk(prob: _Problem, z0: int, pts, normals, fids,
+               seed_p, seed_n, seed_f, trials: int):
+    """One dense-grid region: bin the region's candidate samples, seed the
+    low-z halo with already-accepted occupants from earlier chunks, run the
+    27-phase trial loop, return kept (pos, normal, fid) of OWN cells."""
+    accept_cap = prob.accept_cap
+    nc = prob.grid_res[0] * prob.grid_res[1] * prob.grid_res[2]
+    tp, tn, tf = _bin_dense(pts, normals, fids, prob)
+    acc_p = jnp.full((3, accept_cap, nc), 1e9, jnp.float32)
+    acc_n = jnp.zeros((3, accept_cap, nc), jnp.float32)
+    acc_f = jnp.full((accept_cap, nc), -1, jnp.int32)
+    acc_cnt = jnp.zeros((nc,), jnp.int32)
+    if seed_p is not None and seed_p.shape[0]:
+        # earlier-chunk occupants land in the halo planes as fixed accepted
+        # points: candidates there (none — tp holds own samples only) can't
+        # be accepted, but conflict checks see them through the 5^3 window
+        sp, sn, sf = _bin_dense(seed_p, seed_n, seed_f,
+                                prob._replace(sample_cap=accept_cap))
+        seeded = sf >= 0
+        acc_p = jnp.where(seeded[None], sp, acc_p)
+        acc_n = jnp.where(seeded[None], sn, acc_n)
+        acc_f = jnp.where(seeded, sf, acc_f)
+        acc_cnt = jnp.sum(seeded.astype(jnp.int32), axis=0)
+
+    n_trials = min(trials, prob.sample_cap)
+    for trial in range(n_trials):
+        for phase in range(27):
+            acc_p, acc_n, acc_f, acc_cnt = _phase_step(
+                prob, jnp.int32(phase), jnp.int32(trial), jnp.int32(z0),
+                tp, tn, tf, acc_p, acc_n, acc_f, acc_cnt)
+    return np.asarray(acc_p), np.asarray(acc_n), np.asarray(acc_f)
+
+
 def poisson_disk_sample(verts: np.ndarray, faces: np.ndarray, radius: float,
                         trials: int = 10, density: float = 40.0,
                         seed: int = 0, sample_cap: int = 24,
-                        accept_cap: int = 4) -> np.ndarray:
+                        accept_cap: int = 4,
+                        max_cells: int = 3_000_000) -> np.ndarray:
     """Sample a triangle mesh surface with minimum spacing ``radius``.
 
     Returns kept sample positions (M, 3) float32 — the boundary particle
     shell (reference output boundry.py:445-453).
+
+    Large meshes (artist shells at small radius) are processed in
+    sequential z-slab chunks of at most ``max_cells`` dense cells: each
+    chunk's low-z halo is seeded with the previous chunks' accepted points
+    (fixed occupants for the conflict window), so the minimum-spacing
+    guarantee holds across chunk boundaries while the dense tables — the
+    sampler's memory footprint, (3, sample_cap, NC) — stay bounded.  A
+    one-chunk run is byte-identical to the unchunked algorithm.
     """
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int32)
@@ -190,27 +233,57 @@ def poisson_disk_sample(verts: np.ndarray, faces: np.ndarray, radius: float,
     lo = verts.min(axis=0) - 2 * cell
     hi = verts.max(axis=0) + 2 * cell
     res = tuple(int((hi[i] - lo[i]) / cell) + 1 for i in range(3))
-    prob = _Problem(radius=radius, grid_res=res, origin=tuple(map(float, lo)),
-                    cell=cell, sample_cap=sample_cap, accept_cap=accept_cap)
+    gx, gy, gz = res
 
-    tp, tn, tf = _bin_dense(pts, normals, fids, prob)
-    nc = res[0] * res[1] * res[2]
-    acc_p = jnp.full((3, accept_cap, nc), 1e9, jnp.float32)
-    acc_n = jnp.zeros((3, accept_cap, nc), jnp.float32)
-    acc_f = jnp.full((accept_cap, nc), -1, jnp.int32)
-    acc_cnt = jnp.zeros((nc,), jnp.int32)
+    nz_own = max(1, max_cells // max(gx * gy, 1) - 4)
+    if gz <= nz_own + 4:
+        prob = _Problem(radius=radius, grid_res=res,
+                        origin=tuple(map(float, lo)), cell=cell,
+                        sample_cap=sample_cap, accept_cap=accept_cap)
+        acc_p, _, acc_f = _run_chunk(prob, 0, pts, normals, fids,
+                                     None, None, None, trials)
+        kept = acc_f.reshape(-1) >= 0
+        out = acc_p.reshape(3, -1)[:, kept].T
+        return np.ascontiguousarray(out, np.float32)
 
-    n_trials = min(trials, sample_cap)
-    for trial in range(n_trials):
-        for phase in range(27):
-            acc_p, acc_n, acc_f, acc_cnt = _phase_step(
-                prob, jnp.int32(phase), jnp.int32(trial),
-                tp, tn, tf, acc_p, acc_n, acc_f, acc_cnt)
-
-    acc_p = np.asarray(acc_p)
-    acc_f = np.asarray(acc_f)
-    kept = acc_f.reshape(-1) >= 0
-    out = acc_p.reshape(3, -1)[:, kept].T
+    # ---- z-chunked path: every chunk shares ONE static sub-grid shape ----
+    gz_ext = nz_own + 4                       # 2 halo planes each side
+    sub_res = (gx, gy, gz_ext)
+    cz_all = np.clip(np.floor((pts[:, 2] - lo[2]) / cell).astype(np.int64),
+                     0, gz - 1)
+    kept_parts = []
+    carry_p = np.zeros((0, 3), np.float32)    # accepted, for halo seeding
+    carry_n = np.zeros((0, 3), np.float32)
+    carry_f = np.zeros((0,), np.int32)
+    carry_cz = np.zeros((0,), np.int64)
+    for za in range(0, gz, nz_own):
+        zb = min(za + nz_own, gz)
+        z_org = za - 2                        # local grid origin (global z)
+        origin = (float(lo[0]), float(lo[1]), float(lo[2] + z_org * cell))
+        prob = _Problem(radius=radius, grid_res=sub_res, origin=origin,
+                        cell=cell, sample_cap=sample_cap,
+                        accept_cap=accept_cap)
+        own = (cz_all >= za) & (cz_all < zb)
+        halo = (carry_cz >= za - 2) & (carry_cz < za)
+        acc_p, acc_n, acc_f = _run_chunk(
+            prob, z_org, pts[own], normals[own], fids[own],
+            carry_p[halo], carry_n[halo], carry_f[halo], trials)
+        # keep OWN cells only (local z in [2, 2 + (zb - za))); z is the
+        # minor axis of the flat cell index
+        flat_cz = np.arange(gx * gy * gz_ext) % gz_ext
+        k = (acc_f.reshape(accept_cap, -1) >= 0) \
+            & (flat_cz >= 2)[None] & (flat_cz < 2 + (zb - za))[None]
+        new_p = acc_p.reshape(3, accept_cap, -1).transpose(1, 2, 0)[k]
+        new_n = acc_n.reshape(3, accept_cap, -1).transpose(1, 2, 0)[k]
+        new_f = acc_f.reshape(accept_cap, -1)[k]
+        kept_parts.append(new_p)
+        new_cz = np.clip(np.floor((new_p[:, 2] - lo[2]) / cell), 0,
+                         gz - 1).astype(np.int64)
+        carry_p = np.concatenate([carry_p, new_p])
+        carry_n = np.concatenate([carry_n, new_n])
+        carry_f = np.concatenate([carry_f, new_f])
+        carry_cz = np.concatenate([carry_cz, new_cz])
+    out = np.concatenate(kept_parts, axis=0)
     return np.ascontiguousarray(out, np.float32)
 
 
