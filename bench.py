@@ -64,14 +64,26 @@ def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
     # Per-step jitted calls (donated state): dispatch is ~ms vs a >100 ms
     # step, and the single-step program compiles far faster than a scan-of-
     # steps at large grid sizes.
+    warmup = max(1, warmup)
     t0 = time.time()
-    for _ in range(warmup):
-        sim.step()
+    sim.step()
     np.asarray(sim.state.pos)   # force full device sync (block_until_ready is
     # unreliable on the experimental axon platform)
+    first_step_s = time.time() - t0   # trace+compile (or AOT/persistent-cache
+    # deserialize) + one step: the restart-latency budget metric
+    for _ in range(warmup - 1):
+        sim.step()
+    np.asarray(sim.state.pos)
     warmup_s = time.time() - t0
     print(f"[bench] warmup ({warmup} steps incl. compile): "
-          f"{warmup_s:.1f}s", file=sys.stderr)
+          f"{warmup_s:.1f}s (first step incl. compile {first_step_s:.1f}s)",
+          file=sys.stderr)
+    budget_s = 600.0 if sim.state.n_liquid >= 900_000 else 300.0
+    if first_step_s > budget_s:
+        print(f"[bench] COMPILE BUDGET EXCEEDED: first step "
+              f"{first_step_s:.0f}s > {budget_s:.0f}s "
+              f"(tests/test_compile_budget.py bounds the recorded value)",
+              file=sys.stderr)
 
     t0 = time.time()
     for _ in range(steps):
@@ -92,6 +104,7 @@ def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
         "resident": bool(resident),
         "cell_capacity": int(sim.cfg.cell_capacity),
         "warmup_s": round(warmup_s, 1),
+        "first_step_s": round(first_step_s, 1),
         "build_s": round(t0 - t_build - warmup_s, 1),
         "overflow": int(tel["neighbor_overflow"]),
     }
@@ -122,11 +135,13 @@ def main():
                          "scatter/pad cost — scales linearly with it, but "
                          "too small a value overflows cells under "
                          "compression (watch config.overflow in the JSON)")
-    ap.add_argument("--aot", default="",
+    ap.add_argument("--aot", default="/tmp/wcsph_aot",
                     help="AOT executable cache dir (utils/aot.py): first run "
                          "compiles + serializes the step executable; a rerun "
                          "('restart') deserializes in seconds instead of "
-                         "re-compiling. e.g. --aot /tmp/wcsph_aot")
+                         "re-compiling (the cache key includes a source-tree "
+                         "fingerprint, so code changes recompile). "
+                         "Pass --aot '' to disable.")
     args = ap.parse_args()
 
     import jax

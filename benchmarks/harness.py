@@ -164,7 +164,11 @@ def run_throughput(solvers, scales, steps: int, warmup: int,
             sim = _build(solver, scene, side=side,
                          use_pallas=use_pallas)
             nl = sim.state.n_liquid
-            for _ in range(warmup):
+            t_c = time.time()
+            sim.step()
+            np.asarray(sim.state.pos.ravel()[0])
+            first_step_s = time.time() - t_c   # compile/restart latency row
+            for _ in range(max(0, warmup - 1)):
                 sim.step()
             np.asarray(sim.state.pos.ravel()[0])
             t0 = time.time()
@@ -181,6 +185,7 @@ def run_throughput(solvers, scales, steps: int, warmup: int,
                 "step_ms": el / steps * 1e3,
                 "use_pallas": use_pallas,
                 "overflow": int(sim.telemetry()["neighbor_overflow"]),
+                "first_step_s": round(first_step_s, 1),
             }
             rows.append(row)
             print(f"[throughput] {json.dumps(row)}", file=sys.stderr)
@@ -210,14 +215,17 @@ def to_markdown(result: dict) -> str:
     if result.get("throughput"):
         out += ["## Throughput", "",
                 "| solver | scene | particles | particle-steps/s | step ms "
-                "| engine | overflow |", "|---|---|---|---|---|---|---|"]
+                "| engine | overflow | first step s |",
+                "|---|---|---|---|---|---|---|---|"]
         for r in result["throughput"]:
+            fs = r.get("first_step_s")
             out.append(
                 f"| {r['solver']} | {r.get('scene', 'canonical')} "
                 f"| {r['n_liquid']} "
                 f"| {r['particle_steps_per_s']:.3e} | {r['step_ms']:.1f} "
                 f"| {'pallas' if r['use_pallas'] else 'xla'} "
-                f"| {r['overflow']} |")
+                f"| {r['overflow']} "
+                f"| {'—' if fs is None else f'{fs:.0f}'} |")
         out.append("")
     return "\n".join(out)
 

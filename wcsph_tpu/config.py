@@ -58,6 +58,11 @@ class SimConfig:
     viscosity_b: float = 10.0
     viscosity_err: float = 0.05   # relative PCG tolerance
     max_cg_iters: int = 100
+    # Block-Jacobi preconditioner toggle.  The reference publishes its PCG
+    # evidence as a cg-vs-precondition_cg iteration curve over the viscosity
+    # factor (image/average_iter_num.png; solver in dfsph.py:95-99); False
+    # reproduces the plain-CG branch for that comparison.
+    viscosity_precond: bool = True
     # Explicit XSPH-style laplacian viscosity used by sesph/pcisph
     # (sesph.py:60-62, pcisph.py:70-72)
     explicit_viscosity: float = 0.1

@@ -75,11 +75,22 @@ def _block_jacobi_inv(pairs: ops.Pairs, coeff: jnp.ndarray, rho: jnp.ndarray,
     return mat3.sym3_inverse(a)
 
 
+def _identity_precond(minv: mat3.Sym3) -> mat3.Sym3:
+    """Plain-CG mode (cfg.viscosity_precond=False): identity M, matching
+    the reference's unpreconditioned branch in its published cg-vs-
+    precondition_cg iteration comparison (image/average_iter_num.png)."""
+    one = jnp.ones_like(minv.xx)
+    zero = jnp.zeros_like(minv.xx)
+    return mat3.Sym3(xx=one, xy=zero, xz=zero, yy=one, yz=zero, zz=one)
+
+
 def solve(pairs: ops.Pairs, vel: jnp.ndarray, vel_guess: jnp.ndarray,
           rho: jnp.ndarray, dt: jnp.ndarray, cfg: SimConfig,
           n_liquid: int) -> ViscositySolution:
     coeff = _pair_coeff(pairs, rho, cfg, n_liquid)
     minv = _block_jacobi_inv(pairs, coeff, rho, dt)
+    if not cfg.viscosity_precond:
+        minv = _identity_precond(minv)
 
     def mv(x):
         return _matvec(x, pairs, coeff, rho, dt, n_liquid)
@@ -143,6 +154,9 @@ def solve_dense(comm, velp: jnp.ndarray, vel_guessp: jnp.ndarray,
                                             rho_l, rho_pad, dt)
         minv = mat3.Sym3(*[comm.lower(c) for c in minv_e])
         ax0 = comm.lower(ax0_e)
+
+    if not cfg.viscosity_precond:
+        minv = _identity_precond(minv)
 
     def precond(r):
         # Sym3.matvec expects (3, N); flatten packed dims
