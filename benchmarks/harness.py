@@ -68,6 +68,18 @@ def _build(solver: str, scene: str, side: int = 20, use_pallas: bool = False):
         over = dict(divergence_warm_start=False)
         if solver in ("iisph", "pcisph"):
             over["dt_init"] = 2.5e-3            # ~CFL bound at the ~6 m/s impact
+        if solver == "pcisph":
+            # pcisph tolerance is 1% (10x the others): at 2.5e-3 the impact
+            # violation peaks ~0.4% and the run never exercises the solver;
+            # 3.5e-3 pushes the pre-solve error past tolerance while staying
+            # under the measured stability edge (benchmarks/reference_plots
+            # max-dt ladder)
+            over["dt_init"] = 3.5e-3
+        if solver == "dfsph":
+            # adaptive dt shrinks ahead of the impact and the pre-solve
+            # violation never exceeds tolerance (a vacuous parity row,
+            # ADVICE r3 #2) — pin the same fixed dt the other solvers face
+            over.update(adaptive_dt=False, dt_init=2.5e-3)
     else:
         raise ValueError(scene)
     lo, hi = sc.domain(pad=6 * r)

@@ -52,6 +52,8 @@ def _make_sim(solver, **over):
     sc = dam_break(particle_radius=R, fluid_dims=(SIDE,) * 3,
                    box_extent=SIDE * 2 * R * 1.35)
     lo, hi = sc.domain(pad=6 * R)
+    if over.get("use_pallas"):
+        over.setdefault("cell_capacity", 24)   # engine default (bench.py)
     cfg = default_config(solver, particle_radius=R, domain_min=lo,
                          domain_max=hi, **over)
     return Simulation(sc, cfg, solver=solver)
@@ -117,30 +119,47 @@ def exp_max_dt(pallas, steps):
 
     ladder = (5e-3, 4e-3, 3e-3, 2.5e-3, 2e-3, 1.5e-3, 1e-3, 7.5e-4, 5e-4,
               2.5e-4, 2e-4, 1.5e-4, 1e-4, 7.5e-5, 5e-5)
+    sim_t = 1.2          # fixed SIMULATED window: fall + impact + slosh
     out = {}
     for solver in ("iisph", "pcisph", "sesph"):
         found = None
         for dt in ladder:
             # dt_init stays constant so every rung reuses ONE compiled step
-            # (dt is carried in state under adaptive_dt=False)
+            # (dt is carried in state under adaptive_dt=False); every rung
+            # simulates the SAME window so small dt still faces the impact
             sim = _make_sim(solver, use_pallas=pallas, adaptive_dt=False)
             sim.state = sim.state.replace(dt=jnp.float32(dt))
+            n_steps = int(round(sim_t / dt))
             ok = True
+            why = ""
             t0 = time.time()
             try:
-                for _ in range(steps):
+                for _ in range(n_steps):
                     sim.step()
                 sim.check_health()
                 tel = sim.telemetry()
-                # stable = bounded velocities and density error after the
-                # dam has fallen and sloshed (same judgment the reference
-                # plot encodes: "does the default scene survive")
-                ok = tel["vel_max"] < 20.0 and tel["density_error"] < 0.10 \
-                    and tel["neighbor_overflow"] == 0
-            except RuntimeError:
-                ok = False
-            print(f"[max-dt] {solver} dt={dt:g}: "
-                  f"{'stable' if ok else 'UNSTABLE'} "
+                # stable = bounded velocities/density error AND the fluid
+                # still inside the box (an exploded run ejects particles,
+                # which then free-fall OUT of the grid with modest vel_max
+                # — containment is the reliable explosion detector)
+                liq = sim.liquid_positions()
+                lo_d = np.asarray(sim.cfg.domain_min)
+                hi_d = np.asarray(sim.cfg.domain_max)
+                inside = float(((liq >= lo_d) & (liq <= hi_d)).all(axis=1)
+                               .mean())
+                checks = {
+                    "vel": tel["vel_max"] < 20.0,
+                    "rho": abs(tel["density_error"]) < 0.10,
+                    "overflow": tel["neighbor_overflow"] == 0,
+                    "contained": inside >= 0.999,
+                }
+                ok = all(checks.values())
+                why = ",".join(k for k, v in checks.items() if not v)
+            except (RuntimeError, FloatingPointError):
+                ok = False      # NaN watchdog fired mid-run: unstable
+                why = "nan"
+            print(f"[max-dt] {solver} dt={dt:g} ({n_steps} steps): "
+                  f"{'stable' if ok else 'UNSTABLE ' + why} "
                   f"[{time.time() - t0:.0f}s]", flush=True)
             if ok:
                 found = dt
