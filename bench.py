@@ -25,7 +25,8 @@ import numpy as np
 
 
 def build_sim(n_side: int, solver: str = "dfsph", resident: bool = False,
-              aot_dir: str = "", fused: bool = True, capacity: int = 0):
+              aot_dir: str = "", fused: bool = True, capacity: int = 0,
+              host_rebuild: bool = False):
     from wcsph_tpu import dam_break
     from wcsph_tpu.simulation import Simulation, default_config
 
@@ -43,16 +44,18 @@ def build_sim(n_side: int, solver: str = "dfsph", resident: bool = False,
                          domain_max=hi, use_pallas=use_pallas,
                          cell_capacity=capacity or (24 if use_pallas else 16),
                          resident=resident, aot_dir=aot_dir,
-                         fused_solver_iters=fused)
+                         fused_solver_iters=fused,
+                         resident_host_rebuild=host_rebuild)
     return Simulation(sc, cfg, solver=solver)
 
 
 def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
                resident: bool = False, aot_dir: str = "", fused: bool = True,
-               capacity: int = 0):
+               capacity: int = 0, host_rebuild: bool = False):
     t_build = time.time()
     sim = build_sim(n_side, solver, resident=resident, aot_dir=aot_dir,
-                    fused=fused, capacity=capacity)
+                    fused=fused, capacity=capacity,
+                    host_rebuild=host_rebuild)
     # resident mode: the rebuild branch compiles into the same step program
     # (resident.rebin_auto lax.cond), so the default warmup covers it; the
     # measured window contains cadenced rebuilds — their amortized runtime
@@ -102,6 +105,7 @@ def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
         "engine": "pallas" if sim.cfg.use_pallas else "xla",
         "fused_solver_iters": bool(fused),
         "resident": bool(resident),
+        "host_rebuild": bool(host_rebuild),
         "cell_capacity": int(sim.cfg.cell_capacity),
         "warmup_s": round(warmup_s, 1),
         "first_step_s": round(first_step_s, 1),
@@ -129,6 +133,10 @@ def main():
     ap.add_argument("--no-fused", action="store_true",
                     help="disable the fused per-iteration solver kernels "
                          "(engine._build_fused_iter) for A/B measurement")
+    ap.add_argument("--host-rebuild", action="store_true",
+                    help="resident mode A/B: host-cadenced full rebuild as "
+                         "a separate dispatch instead of the in-program "
+                         "lax.cond branch (cfg.resident_host_rebuild)")
     ap.add_argument("--capacity", type=int, default=0,
                     help="cell capacity override (default 0 = engine "
                          "default 24); slot count — and with it pack/"
@@ -168,7 +176,7 @@ def main():
                 throughput, nl, tel, config = bench_once(
                     side, args.warmup, args.steps, args.solver,
                     resident=res, aot_dir=args.aot, fused=fused,
-                    capacity=args.capacity)
+                    capacity=args.capacity, host_rebuild=args.host_rebuild)
             except Exception as e:  # noqa: BLE001 - next rung / next size
                 print(f"[bench] side={side} fused={fused} resident={res} "
                       f"failed: {type(e).__name__}: {e}", file=sys.stderr)

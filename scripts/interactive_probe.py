@@ -87,6 +87,19 @@ out["viewer"] = {"fps": round(frames / el, 1),
                  "note": "step + on-device rasterize + JPEG encode"}
 print(f"[viewer] {frames / el:.1f} fps (1 step/frame, 640x640)", flush=True)
 
+# attribute the tunnel cost: a bare device->host pull of one frame
+import jax.numpy as jnp
+
+dev_img = jnp.zeros((640, 640, 3), jnp.float32) + 0.5
+np.asarray(dev_img)
+t0 = time.time()
+for _ in range(20):
+    np.asarray(dev_img * 1.0)
+pull_ms = (time.time() - t0) / 20 * 1e3
+out["viewer"]["frame_pull_ms"] = round(pull_ms, 1)
+print(f"[viewer] bare 4.9MB frame device->host pull: {pull_ms:.0f} ms",
+      flush=True)
+
 path = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "benchmarks", "interactive.json")
 with open(path, "w") as f:

@@ -49,6 +49,26 @@ def test_resident_matches_engine_trajectory():
     assert float(np.abs(np.asarray(sr.vel)).max()) > 0.1
 
 
+def test_resident_host_rebuild_matches():
+    """Host-cadenced rebuild mode (cfg.resident_host_rebuild: the step
+    program holds only the incremental rebin; Simulation dispatches
+    rebuild() as a separate program on the cadence) reproduces the
+    on-device-cond trajectory across rebuild boundaries."""
+    sims = {flag: _sim(True, resident_host_rebuild=flag)
+            for flag in (False, True)}
+    for _ in range(8):
+        for s in sims.values():
+            s.step()
+    sh, sc_ = sims[True].state, sims[False].state
+    np.testing.assert_allclose(np.asarray(sh.pos), np.asarray(sc_.pos),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh.vel), np.asarray(sc_.vel),
+                               rtol=2e-3, atol=2e-4)
+    assert int(sims[True]._rs.grid.rebin_lost) == 0
+    # the host cadence actually fired (cadence 3 over 8 steps)
+    assert sims[True]._steps_since_rebuild < 3
+
+
 def test_resident_bookkeeping_invariants():
     """After several steps WITHOUT a rebuild (cadence 100), every particle
     has exactly one home (a grid slot or a side-buffer seat), slot[] is the

@@ -140,6 +140,16 @@ class SimConfig:
     resident_mover_frac: float = 0.08
     # Side-buffer capacity (dropped particles keeping state) as fraction of N.
     resident_side_frac: float = 0.02
+    # Host-cadenced full rebuild (A/B of the rebin_auto lax.cond): the step
+    # program contains ONLY the incremental rebin; Simulation counts the
+    # cadence on the host and dispatches rebuild() as a SEPARATE jitted
+    # program every resident_rebuild_every steps, or whenever the previous
+    # step reported rebin_lost > 0 (a mover spike beyond the budget
+    # stale-bins its excess for ONE step, then the rebuild re-sorts).
+    # Motivation: the in-program cadenced-rebuild cond branch de-vectorizes
+    # into ~22k tiny ops on the remote-TPU platform (launch-gap
+    # amplification; ROADMAP round-4 A/B) that every step pays for.
+    resident_host_rebuild: bool = False
 
     # Fuse each DFSPH divergence/pressure iteration's kappa-velocity-update
     # and drho sweeps into ONE Mosaic program (engine._build_fused_iter):

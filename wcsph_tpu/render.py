@@ -15,6 +15,7 @@ atomics, racy otherwise).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -106,6 +107,44 @@ def _disk_stencil(radius_px: int) -> np.ndarray:
     return np.asarray(ij, np.int32)
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _rasterize(points, colors, radii, pv, width: int, height: int,
+               radius_px: int, background: float):
+    """Jitted rasterizer body (module-level: the GUI loop calls it every
+    frame, so it must hit the jit cache — a per-call closure would retrace
+    and recompile each frame, ~0.5 s on the remote-TPU platform)."""
+    stencil = jnp.asarray(_disk_stencil(radius_px))     # (S, 2)
+    stencil_r2 = stencil[:, 0] ** 2 + stencil[:, 1] ** 2
+    n = points.shape[1]
+    hom = jnp.concatenate([points, jnp.ones((1, n), jnp.float32)])
+    clip = pv @ hom                                  # (4, N)
+    ndc = clip[:3] / clip[3]
+    sx = (ndc[0] + 1.0) * 0.5 * width
+    sy = (ndc[1] + 1.0) * 0.5 * height
+    z = ndc[2]
+
+    px = jnp.round(sx).astype(jnp.int32)[None, :] + stencil[:, 0:1]
+    py = jnp.round(sy).astype(jnp.int32)[None, :] + stencil[:, 1:2]
+    inside = ((px >= 0) & (px < width) & (py >= 0) & (py < height)
+              & ((z >= 0.0) & (z <= 1.0))[None, :]
+              & (stencil_r2[:, None] <= radii[None, :] ** 2))
+
+    # flat pixel index; out-of-frame -> dropped by mode="drop"
+    flat = jnp.where(inside, py * width + px, width * height)
+    zq = jnp.clip(z, 0.0, 1.0)
+    zbits = (zq * 4.19e6).astype(jnp.uint32) << 8    # depth-major key
+    img = jnp.full((height * width, 3), jnp.uint32(0xFFFFFFFF))
+    cb = jnp.clip(colors * 255.0, 0, 255).astype(jnp.uint32)  # (3, N)
+    for c in range(3):
+        key = (zbits | (255 - cb[c]))[None, :]
+        key = jnp.broadcast_to(key, flat.shape)
+        img = img.at[flat.reshape(-1), c].min(key.reshape(-1), mode="drop")
+    color = (255 - (img & 0xFF)).astype(jnp.float32) / 255.0
+    hit = img != jnp.uint32(0xFFFFFFFF)
+    out = jnp.where(hit, color, background)
+    return out.reshape(height, width, 3)
+
+
 def render_points(points: jnp.ndarray, colors: jnp.ndarray, view: np.ndarray,
                   proj: np.ndarray, width: int, height: int,
                   radius_px: int = 3, background: float = 0.0,
@@ -117,44 +156,11 @@ def render_points(points: jnp.ndarray, colors: jnp.ndarray, view: np.ndarray,
     a packed (depth, color) key per channel.  The reference draws liquid as
     3 px Bresenham circles and boundary as single pixels (sesph.py:201-207).
     """
-    stencil = jnp.asarray(_disk_stencil(radius_px))     # (S, 2)
-    stencil_r2 = stencil[:, 0] ** 2 + stencil[:, 1] ** 2
     pv = jnp.asarray(np.asarray(proj @ view, np.float32))
     if radii is None:
         radii = jnp.full((points.shape[1],), radius_px, jnp.int32)
-
-    @jax.jit
-    def go(points, colors, radii):
-        n = points.shape[1]
-        hom = jnp.concatenate([points, jnp.ones((1, n), jnp.float32)])
-        clip = pv @ hom                                  # (4, N)
-        ndc = clip[:3] / clip[3]
-        sx = (ndc[0] + 1.0) * 0.5 * width
-        sy = (ndc[1] + 1.0) * 0.5 * height
-        z = ndc[2]
-
-        px = jnp.round(sx).astype(jnp.int32)[None, :] + stencil[:, 0:1]
-        py = jnp.round(sy).astype(jnp.int32)[None, :] + stencil[:, 1:2]
-        inside = ((px >= 0) & (px < width) & (py >= 0) & (py < height)
-                  & ((z >= 0.0) & (z <= 1.0))[None, :]
-                  & (stencil_r2[:, None] <= radii[None, :] ** 2))
-
-        # flat pixel index; out-of-frame -> dropped by mode="drop"
-        flat = jnp.where(inside, py * width + px, width * height)
-        zq = jnp.clip(z, 0.0, 1.0)
-        zbits = (zq * 4.19e6).astype(jnp.uint32) << 8    # depth-major key
-        img = jnp.full((height * width, 3), jnp.uint32(0xFFFFFFFF))
-        cb = jnp.clip(colors * 255.0, 0, 255).astype(jnp.uint32)  # (3, N)
-        for c in range(3):
-            key = (zbits | (255 - cb[c]))[None, :]
-            key = jnp.broadcast_to(key, flat.shape)
-            img = img.at[flat.reshape(-1), c].min(key.reshape(-1), mode="drop")
-        color = (255 - (img & 0xFF)).astype(jnp.float32) / 255.0
-        hit = img != jnp.uint32(0xFFFFFFFF)
-        out = jnp.where(hit, color, background)
-        return out.reshape(height, width, 3)
-
-    return go(points, colors, radii)
+    return _rasterize(points, colors, radii, pv, width, height, radius_px,
+                      float(background))
 
 
 class Canvas:
@@ -170,16 +176,27 @@ class Canvas:
                solid_color: Sequence[float] = (0.3, 0.3, 0.3),
                radius_px: int = 3) -> np.ndarray:
         n = pos.shape[1]
-        colors = np.zeros((3, n), np.float32)
-        colors[:, :n_liquid] = np.asarray(liquid_color, np.float32)[:, None]
-        colors[:, n_liquid:] = np.asarray(solid_color, np.float32)[:, None]
-        # boundary as single pixels, liquid as discs (sesph.py:201-207)
-        radii = np.full((n,), 1, np.int32)
-        radii[:n_liquid] = radius_px
+        # colors/radii are static per (scene, colors): keep them ON DEVICE
+        # across frames — re-uploading per frame costs a host->device round
+        # trip each on the remote-TPU platform (GUI-rate killer)
+        key = (n, n_liquid, tuple(liquid_color), tuple(solid_color),
+               radius_px)
+        if getattr(self, "_attr_key", None) != key:
+            colors = np.zeros((3, n), np.float32)
+            colors[:, :n_liquid] = np.asarray(liquid_color,
+                                              np.float32)[:, None]
+            colors[:, n_liquid:] = np.asarray(solid_color,
+                                              np.float32)[:, None]
+            # boundary as single pixels, liquid as discs (sesph.py:201-207)
+            radii = np.full((n,), 1, np.int32)
+            radii[:n_liquid] = radius_px
+            self._colors = jnp.asarray(colors)
+            self._radii = jnp.asarray(radii)
+            self._attr_key = key
         view, proj = self.camera.matrices()
-        img = render_points(pos, jnp.asarray(colors), view, proj,
+        img = render_points(pos, self._colors, view, proj,
                             self.camera.width, self.camera.height, radius_px,
-                            radii=jnp.asarray(radii))
+                            radii=self._radii)
         return np.asarray(img)
 
     def export_png(self, img: np.ndarray, time: float,

@@ -185,6 +185,56 @@ def pack_many_padded(plan, rgrid: ResidentGrid, fields: Sequence,
     return out
 
 
+def padded_step_head(cfg: SimConfig, pos: jnp.ndarray, n_liquid: int,
+                     fields: Sequence):
+    """NON-resident engine-step entry, padded-direct: build_grid_padded +
+    pack_many_padded + PaddedEngine.from_resident.  Replaces the historical
+    build_grid -> pack_liquid_many -> eng.pad_state chain: that route
+    materialized a (K, C, NC) intermediate and re-staged it into the padded
+    layout with ~12 dynamic-update-slices PER FIELD (132 executed ops and
+    several full-size copies per step in the 1M trace) — here the build
+    scatters and the pack gather target padded flat slots directly, so no
+    pad-transpose exists anywhere in the step.  Returns
+    (rgrid, comm, packed_fields)."""
+    from .pallas.engine import PaddedEngine
+    from .parallel.comm import PaddedNoComm
+
+    plan = make_plan(cfg, cfg.cell_capacity)
+    rgrid = build_grid_padded(plan, pos, n_liquid, cfg)
+    eng = PaddedEngine.from_resident(rgrid, cfg)
+    comm = PaddedNoComm(rgrid, cfg, engine=eng)
+    packed = pack_many_padded(plan, rgrid, fields)
+    return rgrid, comm, packed
+
+
+def unpack_many_direct(rgrid: ResidentGrid, packed: Sequence,
+                       defaults: Sequence):
+    """grid.unpack_liquid_many twin for the padded-direct step:
+    ``rgrid.slot`` IS the padded flat index, so the unpack is one stacked
+    leading-dim gather with no slot-index arithmetic.  Dropped particles
+    (slot == -1: capacity overflow / out of box) keep ``defaults``.
+    rgrid.slot covers ALL particles; outputs are per-LIQUID like the
+    defaults (solvers only unpack liquid fields)."""
+    nl = defaults[0].shape[-1]
+    slot = rgrid.slot[:nl]
+    keep = slot >= 0
+    idx = jnp.maximum(slot, 0)
+    parts, sizes = [], []
+    for xp in packed:
+        x2 = xp.reshape((1, -1) if xp.ndim == 3 else (xp.shape[0], -1))
+        parts.append(x2)
+        sizes.append(x2.shape[0])
+    stacked = jnp.concatenate(parts, axis=0)
+    got = stacked[:, idx]
+    out, o = [], 0
+    for xp, d, k in zip(packed, defaults, sizes):
+        sl = got[o:o + k]
+        out.append(jnp.where(keep, sl[0], d) if xp.ndim == 3
+                   else jnp.where(keep[None], sl, d))
+        o += k
+    return out
+
+
 def _slot_cells(plan, cfg: SimConfig):
     """Per-slot owning cell id (NX, 1, PP) and an in-frame mask; margin and
     tail slots get cell -1."""
@@ -399,13 +449,6 @@ def rebin_auto(plan, cfg: SimConfig, rs: ResidentState, budget: int):
     round-trip and never stale-bins a particle.  Returns (grid, dyn, side).
     """
     scan = detect_movers(plan, cfg, rs.grid)
-    need_full = ((scan.n_mov > budget)
-                 | (rs.grid.since_rebuild + 1
-                    >= cfg.resident_rebuild_every))
-
-    def _full(_):
-        rs2 = rebuild(cfg, rs)
-        return rs2.grid, tuple(rs2.dyn), rs2.side
 
     def _inc(_):
         grid, dyn, side = rebin_incremental(plan, cfg, rs.grid, rs.dyn,
@@ -413,6 +456,21 @@ def rebin_auto(plan, cfg: SimConfig, rs: ResidentState, budget: int):
                                             n_liquid=rs.n_liquid)
         grid = grid._replace(since_rebuild=rs.grid.since_rebuild + 1)
         return grid, tuple(dyn), side
+
+    if cfg.resident_host_rebuild:
+        # incremental only: the cadence/spike full re-sort is dispatched by
+        # the HOST as a separate program (Simulation.step) — excess movers
+        # on a spike step stale-bin for one step (counted in rebin_lost),
+        # which triggers the host rebuild before the next step
+        return _inc(None)
+
+    need_full = ((scan.n_mov > budget)
+                 | (rs.grid.since_rebuild + 1
+                    >= cfg.resident_rebuild_every))
+
+    def _full(_):
+        rs2 = rebuild(cfg, rs)
+        return rs2.grid, tuple(rs2.dyn), rs2.side
 
     return jax.lax.cond(need_full, _full, _inc, None)
 

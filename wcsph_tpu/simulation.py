@@ -64,6 +64,12 @@ def _res_materialize_jit(rs, proto, dyn_names):
     return resident.to_fluid(rs, proto, dyn_names)
 
 
+@partial(jax.jit, static_argnums=(1,), donate_argnums=0)
+def _res_rebuild_jit(rs, cfg: SimConfig):
+    from . import resident
+    return resident.rebuild(cfg, rs)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=0)
 def _rollout_jit(state: FluidState, step_fn: Callable, cfg: SimConfig,
                  n_steps: int) -> FluidState:
@@ -94,6 +100,7 @@ class Simulation:
         # decided ON DEVICE (resident.rebin_auto) — no host logic.
         self._resident = (cfg.resident and cfg.use_pallas
                           and hasattr(self._solver, "step_resident"))
+        self._steps_since_rebuild = 0    # host cadence (resident_host_rebuild)
         self._state = state
         self._state_stale = False
         if self._resident:
@@ -137,6 +144,19 @@ class Simulation:
 
     def step(self) -> FluidState:
         if self._resident:
+            if self.cfg.resident_host_rebuild:
+                # host-cadenced full re-sort: the step program holds only
+                # the incremental rebin (no in-program rebuild cond); a
+                # mover spike beyond the budget stale-bins its excess for
+                # ONE step (rebin_lost > 0), which triggers the rebuild
+                # here before the next step
+                self._steps_since_rebuild += 1
+                lost = (self._steps_since_rebuild
+                        >= self.cfg.resident_rebuild_every) or bool(
+                    np.asarray(self._rs.grid.rebin_lost) > 0)
+                if lost:
+                    self._rs = _res_rebuild_jit(self._rs, self.cfg)
+                    self._steps_since_rebuild = 0
             if self._aot_step is not None:
                 self._rs = self._aot_step(self._rs)
             else:

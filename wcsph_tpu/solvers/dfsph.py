@@ -400,24 +400,19 @@ def step_resident(rs, cfg: SimConfig):
 
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
-    grid = build_grid(state.pos, nl, cfg)
-    eng = None
+    fields = [state.vel, state.omega, state.vel_guess, state.kappa,
+              state.kappa_v]
     if cfg.use_pallas:
-        from ..pallas.engine import PaddedEngine, SweepEngine
-        from ..parallel.comm import PaddedNoComm
+        # padded-direct: the build scatters and the pack gather target the
+        # engine's padded layout, no (C, NC) intermediate or pad-transpose
+        # (resident.padded_step_head)
+        from .. import resident as res
 
-        # the whole middle runs in the padded engine layout: pad once after
-        # pack, unpack straight from the padded buffers at the end
-        eng = PaddedEngine(SweepEngine(grid, cfg))
-        comm = PaddedNoComm(grid, cfg, engine=eng)
+        grid, comm, packed = res.padded_step_head(cfg, state.pos, nl, fields)
     else:
+        grid = build_grid(state.pos, nl, cfg)
         comm = NoComm(grid, cfg)
-
-    packed = pack_liquid_many(grid, [state.vel, state.omega,
-                                     state.vel_guess, state.kappa,
-                                     state.kappa_v])
-    if eng is not None:
-        packed = [eng.pad_state(x) for x in packed]
+        packed = pack_liquid_many(grid, fields)
     mid = step_middle(comm, cfg, *packed,
                       state.dt, state.last_pressure_iters)
 
@@ -425,8 +420,9 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     mids = [mid.vel, mid.omega, mid.vel_guess, mid.kappa, mid.kappa_v]
     prevs = [state.vel, state.omega, state.vel_guess, state.kappa,
              state.kappa_v]
-    if eng is not None:
-        vel, omega, vel_guess, kappa, kappa_v = eng.unpack_many(mids, prevs)
+    if cfg.use_pallas:
+        vel, omega, vel_guess, kappa, kappa_v = res.unpack_many_direct(
+            grid, mids, prevs)
     else:
         vel, omega, vel_guess, kappa, kappa_v = unpack_liquid_many(
             grid, mids, prevs)

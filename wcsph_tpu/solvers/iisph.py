@@ -368,27 +368,21 @@ def step_resident(rs, cfg: SimConfig):
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
-    grid = build_grid(state.pos, nl, cfg)
-    eng = None
+    fields = [state.vel, state.vel_guess, state.pressure]
     if cfg.use_pallas:
-        from ..pallas.engine import PaddedEngine, SweepEngine
-        from ..parallel.comm import PaddedNoComm
+        from .. import resident as res
 
-        eng = PaddedEngine(SweepEngine(grid, cfg))
-        comm = PaddedNoComm(grid, cfg, engine=eng)
+        grid, comm, packed = res.padded_step_head(cfg, state.pos, nl, fields)
     else:
+        grid = build_grid(state.pos, nl, cfg)
         comm = NoComm(grid, cfg)
-
-    packed = pack_liquid_many(grid, [state.vel, state.vel_guess,
-                                     state.pressure])
-    if eng is not None:
-        packed = [eng.pad_state(x) for x in packed]
+        packed = pack_liquid_many(grid, fields)
     mid = step_middle(comm, cfg, *packed, dt)
 
     mids = [mid.vel, mid.pressure, mid.delta_v]
     prevs = [state.vel, state.pressure, state.vel_guess]
-    if eng is not None:
-        vel, pressure, vel_guess = eng.unpack_many(mids, prevs)
+    if cfg.use_pallas:
+        vel, pressure, vel_guess = res.unpack_many_direct(grid, mids, prevs)
     else:
         vel, pressure, vel_guess = unpack_liquid_many(grid, mids, prevs)
     pos = state.pos.at[:, :nl].add(vel * dt)

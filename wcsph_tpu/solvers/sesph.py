@@ -78,24 +78,19 @@ def step_resident(rs, cfg: SimConfig):
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
-    grid = build_grid(state.pos, nl, cfg)
-    eng = None
     if cfg.use_pallas:
-        from ..pallas.engine import PaddedEngine, SweepEngine
-        from ..parallel.comm import PaddedNoComm
+        from .. import resident as res
 
-        eng = PaddedEngine(SweepEngine(grid, cfg))
-        comm = PaddedNoComm(grid, cfg, engine=eng)
+        grid, comm, (vp,) = res.padded_step_head(cfg, state.pos, nl,
+                                                 [state.vel])
     else:
+        grid = build_grid(state.pos, nl, cfg)
         comm = NoComm(grid, cfg)
-
-    vp = pack_liquid(grid, state.vel)
-    if eng is not None:
-        vp = eng.pad_state(vp)
+        vp = pack_liquid(grid, state.vel)
     velp, rhop, pp = step_middle(comm, cfg, vp, dt)
-    if eng is not None:
-        vel, pressure = eng.unpack_many([velp, pp],
-                                        [state.vel, state.pressure])
+    if cfg.use_pallas:
+        vel, pressure = res.unpack_many_direct(grid, [velp, pp],
+                                               [state.vel, state.pressure])
     else:
         vel = unpack_liquid(grid, velp, state.vel)
         pressure = unpack_liquid(grid, pp, state.pressure)
