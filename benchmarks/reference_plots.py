@@ -165,7 +165,8 @@ def exp_max_dt(pallas, steps):
                 found = dt
                 break
         out[solver] = found
-        print(f"[max-dt] {solver}: max stable dt {found:g} "
+        print(f"[max-dt] {solver}: max stable dt "
+              f"{'NONE' if found is None else f'{found:g}'} "
               f"(ref {REF['max_dt'][solver]:g})", flush=True)
     return out
 

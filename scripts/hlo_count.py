@@ -23,16 +23,22 @@ from wcsph_tpu.simulation import Simulation, default_config
 
 side = int(sys.argv[1]) if len(sys.argv) > 1 else 47
 solver = sys.argv[2] if len(sys.argv) > 2 else "dfsph"
+resident = not (len(sys.argv) > 3 and sys.argv[3] == "nonresident")
 r = 0.025
 sc = dam_break(particle_radius=r, fluid_dims=(side,) * 3,
                box_extent=side * 2 * r * 1.35)
 lo, hi = sc.domain(pad=6 * r)
 cfg = default_config(solver, particle_radius=r, domain_min=lo, domain_max=hi,
-                     use_pallas=True, cell_capacity=24, resident=True)
+                     use_pallas=True, cell_capacity=24, resident=resident)
 sim = Simulation(sc, cfg, solver=solver)
-step_fn = sim._solver.step_resident
-txt = (jax.jit(lambda rs: step_fn(rs, cfg)).lower(sim._rs).compile()
-       .as_text())
+if resident:
+    step_fn = sim._solver.step_resident
+    txt = (jax.jit(lambda rs: step_fn(rs, cfg)).lower(sim._rs).compile()
+           .as_text())
+else:
+    step_fn = sim._step_fn
+    txt = (jax.jit(lambda s: step_fn(s, cfg)).lower(sim.state).compile()
+           .as_text())
 
 
 def shape_bytes(s):

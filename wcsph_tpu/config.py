@@ -25,6 +25,14 @@ class SimConfig:
     # ---- particle geometry (reference ParticleData.py:18-22, dfsph.py:28) ----
     particle_radius: float = 0.025
     rest_density: float = 1000.0
+    # Resolve the boundary volume from the ACTUAL shell sampling at scene
+    # setup (Akinci 2012 V_b = 1/sum W over solid neighbors; boundary.py,
+    # applied in Simulation.__init__): the reference's constant VS0 is only
+    # right for the shell density it was tuned on — 1.0 (dfsph/iisph, dense
+    # Poisson shells) under-weights a 2r procedural box enough that liquid
+    # drains through the wall.  The per-solver constants below remain the
+    # fallback (auto off, or no solids / direct non-Simulation use).
+    solid_volume_auto: bool = True
     # VS0 = solid_volume_scale * VL0. The reference uses 2.0 for sesph/pcisph
     # (sesph.py:36) and 1.0 for iisph/dfsph (ParticleData.py:22).
     solid_volume_scale: float = 1.0

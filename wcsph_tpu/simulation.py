@@ -85,6 +85,20 @@ class Simulation:
 
     def __init__(self, scene: Scene, cfg: SimConfig, solver: str = "dfsph",
                  init_fn=None):
+        if cfg.solid_volume_auto and scene.n_solid > 0:
+            # boundary volume from the ACTUAL shell sampling (Akinci 2012;
+            # boundary.py) — a constant scale that is right for one shell
+            # density under-weights a sparser one until liquid drains
+            # through the wall
+            import dataclasses
+
+            from .boundary import akinci_solid_volume_scale
+
+            probe = (init_fn or init_state)(scene, cfg)
+            scale = akinci_solid_volume_scale(
+                probe.pos[:, probe.n_liquid:], cfg)
+            cfg = dataclasses.replace(cfg, solid_volume_scale=scale,
+                                      solid_volume_auto=False)
         self.cfg = cfg
         self.solver_name = solver
         self._solver = get_solver(solver)
