@@ -620,14 +620,16 @@ def _rebin_and_migrate(cfg: SimConfig, cfg_loc: SimConfig, plan, n: int,
     arr_pid = jnp.where((dev == 0) & (ai < kmig), -1, arr_pid)
     arr_pid = jnp.where((dev == n - 1) & (ai >= kmig), -1, arr_pid)
 
-    # emigrants leave the candidate pool (their payload went to a neighbor);
-    # overspilled emigrants (> kmig) stay seated one more step (stale cell,
-    # like resident.rebin_lost) — they were candidates, so drop them from
-    # the pool too and DON'T clear their slot
+    # SENT emigrants leave the candidate pool (their payload went to a
+    # neighbor).  Overspilled emigrants (> kmig per direction) STAY in the
+    # pool: their destination is not-own so placement fails and they re-park
+    # in the side buffer, retrying the ppermute next step — dropping them
+    # here would permanently destroy particles (ADVICE r4 high: one spike
+    # step deleted 616 of 2736 particles on 8 virtual devices)
     sent_l = go_l & (jnp.cumsum(go_l.astype(jnp.int32)) - 1 < kmig)
     sent_r = go_r & (jnp.cumsum(go_r.astype(jnp.int32)) - 1 < kmig)
     sent = sent_l | sent_r
-    stay = alive & ~go_l & ~go_r
+    stay = alive & ~sent
     cand_pid = jnp.where(stay, cand_pid, -1)
     # slots of SENT movers must clear even though the candidate is gone
     sent_slot = jnp.where(sent, cand_old, nflat)
@@ -643,7 +645,11 @@ def _rebin_and_migrate(cfg: SimConfig, cfg_loc: SimConfig, plan, n: int,
     alive = cand_pid >= 0
     dest = jnp.where(alive & cown, cp * plan.P + cm, nc_loc)
 
-    lost_spill = spill_l + spill_r
+    # spill_l/spill_r are informational only: overspilled emigrants remain
+    # alive in the pool and reach the side buffer via the fail path below
+    # (counted there as occupancy, or as lost only if the side buffer
+    # itself is full)
+    del spill_l, spill_r
     need_full = (n_mov > budget) | (since + 1 >= cfg.resident_rebuild_every)
 
     # ---------------- incremental branch ----------------
@@ -787,8 +793,7 @@ def _rebin_and_migrate(cfg: SimConfig, cfg_loc: SimConfig, plan, n: int,
 
     out = jax.lax.cond(need_full, _full, _inc, None)
     (pid2, xp2, dyn2, spos2, sdyn2, spid2, since2, ovf, lost) = out
-    return pid2, xp2, dyn2, spos2, sdyn2, spid2, since2, ovf, \
-        lost + lost_spill
+    return pid2, xp2, dyn2, spos2, sdyn2, spid2, since2, ovf, lost
 
 
 # ---------------------------------------------------------------------------
@@ -871,10 +876,14 @@ def step_slab_resident(srs: SlabResState, cfg: SimConfig, mesh: Mesh,
         own_pl = jnp.asarray(_own_plane_mask(plan, gxl))
         pid = jnp.where(own_pl, pid, -1)
         xp = jnp.where(own_pl[None], xp, EMPTY_POS)
+        # diag carries PERMANENT drops only (matching resident.rebin_lost
+        # semantics); benign side-buffer occupancy — particles retained and
+        # retried next step — stays separately visible as srs.overflow
+        # (ADVICE r4: do not conflate re-parks with mass loss)
         return ((pid, xp) + dyn_new
                 + (spos, sdyn, spid, since_s[None], ovf[None], lost[None])
                 + (new_dt, dv_it, pr_it, vs_it, err, err_pre,
-                   jax.lax.psum(ovf + lost, AXIS), jnp.sqrt(vmax)))
+                   jax.lax.psum(lost, AXIS), jnp.sqrt(vmax)))
 
     out = step(srs.pid, srs.xp, *srs.dyn, srs.side_pos, srs.side_dyn,
                srs.side_pid, srs.since_rebuild, srs.dt,

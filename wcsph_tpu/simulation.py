@@ -94,9 +94,12 @@ class Simulation:
 
             from .boundary import akinci_solid_volume_scale
 
-            probe = (init_fn or init_state)(scene, cfg)
-            scale = akinci_solid_volume_scale(
-                probe.pos[:, probe.n_liquid:], cfg)
+            # straight off the scene's solid rows — building a throwaway
+            # full FluidState here doubled startup allocation at 1M
+            # (ADVICE r4)
+            pos_solid = jnp.asarray(
+                scene.positions[scene.n_liquid:].T, dtype=jnp.float32)
+            scale = akinci_solid_volume_scale(pos_solid, cfg)
             cfg = dataclasses.replace(cfg, solid_volume_scale=scale,
                                       solid_volume_auto=False)
         self.cfg = cfg
