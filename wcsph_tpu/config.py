@@ -50,6 +50,17 @@ class SimConfig:
     # watch diag.neighbor_overflow (the reference's "exceed grid" print,
     # HashGrid.py:73).
     cell_capacity: int = 16
+    # Overflow fallback capacity for the engine's non-resident padded-direct
+    # step (resident.padded_step_spill).  0 disables.  When > cell_capacity,
+    # every step checks (on device, off the already-computed bin ranks)
+    # whether cell_capacity would overflow THIS step and, if so, runs the
+    # whole packed middle at this wider capacity instead — both sides of one
+    # lax.cond.  The common case pays the tight capacity's pack/scatter cost
+    # (slot count is linear in capacity); a compression spike keeps every
+    # particle interacting instead of dropping it for the step (the
+    # reference drops with a host print, HashGrid.py:73).  Compile time
+    # roughly doubles (both branches compile).
+    cell_capacity_spill: int = 0
     # Max retained neighbors per liquid particle after distance culling.
     max_neighbors: int = 64
 

@@ -105,17 +105,22 @@ def _flat_slot(plan, px, rank, pp):
     return ((px + 1) * plan.C + rank) * plan.PP + (_MARGIN + pp)
 
 
-def build_grid_padded(plan, pos: jnp.ndarray, n_liquid: int,
-                      cfg: SimConfig) -> ResidentGrid:
-    """grid.build_grid emitting the PADDED layout directly: same argsort +
-    rank-in-run placement (grid.py:75-122), but the pid/xp scatters target
-    padded flat slots, so no (C, NC) intermediate or pad-transpose exists."""
+class BuildPrep(NamedTuple):
+    """Capacity-independent half of the padded grid build: cell binning,
+    argsort, rank-in-run and the sorted position gather.  The spill-fallback
+    branches (padded_step_spill) share one prep — they differ only in the
+    scatter targets, which depend on the plan's capacity."""
+
+    order: jnp.ndarray        # (N,) argsort of cell ids
+    sorted_cell: jnp.ndarray  # (N,) cell id per sorted particle (nc = outside)
+    rank: jnp.ndarray         # (N,) rank within the cell's sorted run
+    pos_sorted: jnp.ndarray   # (3, N)
+    spill: jnp.ndarray        # () bool: would cfg.cell_capacity overflow?
+
+
+def build_prep(pos: jnp.ndarray, cfg: SimConfig) -> BuildPrep:
     n = pos.shape[1]
     nc = cfg.num_cells
-    cap = plan.C
-    P, PP, NX = plan.P, plan.PP, plan.NX
-    nflat = NX * cap * PP
-
     cell_id, inbox = cell_of_positions(pos, cfg)
     cell_id = jnp.where(inbox, cell_id, nc)
 
@@ -126,6 +131,21 @@ def build_grid_padded(plan, pos: jnp.ndarray, n_liquid: int,
                               sorted_cell[1:] != sorted_cell[:-1]])
     run_start = jax.lax.cummax(jnp.where(change, iota, 0))
     rank = iota - run_start
+    spill = jnp.any((rank >= cfg.cell_capacity) & (sorted_cell < nc))
+    return BuildPrep(order=order, sorted_cell=sorted_cell, rank=rank,
+                     pos_sorted=pos[:, order], spill=spill)
+
+
+def grid_from_prep(plan, prep: BuildPrep, n_liquid: int,
+                   cfg: SimConfig) -> ResidentGrid:
+    """Placement half of the padded build at plan.C: pid/xp scatters into
+    padded flat slots, per-cell tops, overflow count."""
+    n = prep.order.shape[0]
+    nc = cfg.num_cells
+    cap = plan.C
+    P, PP, NX = plan.P, plan.PP, plan.NX
+    nflat = NX * cap * PP
+    sorted_cell, rank, order = prep.sorted_cell, prep.rank, prep.order
 
     px = jnp.minimum(sorted_cell, nc - 1) // P
     pp = jnp.minimum(sorted_cell, nc - 1) - px * P
@@ -135,14 +155,13 @@ def build_grid_padded(plan, pos: jnp.ndarray, n_liquid: int,
 
     pid = jnp.full((nflat,), -1, jnp.int32).at[sl].set(
         order.astype(jnp.int32), mode="drop").reshape(NX, cap, PP)
-    pos_sorted = pos[:, order]
     # one flat scalar-index scatter for all 3 components (idx + c * nflat,
     # component-major): same index count as 3 per-component scatters but a
     # single thunk — the axon launch gap charges per executed op
     sl3 = jnp.concatenate([jnp.where(sl < nflat, sl + c * nflat, 3 * nflat)
                            for c in range(3)])
     xp = (jnp.full((3 * nflat,), EMPTY_POS, jnp.float32)
-          .at[sl3].set(pos_sorted.reshape(-1), mode="drop")
+          .at[sl3].set(prep.pos_sorted.reshape(-1), mode="drop")
           .reshape(3, NX, cap, PP))
 
     slot_all = jnp.full((n,), -1, jnp.int32)
@@ -164,6 +183,14 @@ def build_grid_padded(plan, pos: jnp.ndarray, n_liquid: int,
                         since_rebuild=jnp.int32(0))
 
 
+def build_grid_padded(plan, pos: jnp.ndarray, n_liquid: int,
+                      cfg: SimConfig) -> ResidentGrid:
+    """grid.build_grid emitting the PADDED layout directly: same argsort +
+    rank-in-run placement (grid.py:75-122), but the pid/xp scatters target
+    padded flat slots, so no (C, NC) intermediate or pad-transpose exists."""
+    return grid_from_prep(plan, build_prep(pos, cfg), n_liquid, cfg)
+
+
 def pack_many_padded(plan, rgrid: ResidentGrid, fields: Sequence,
                      fill: float = 0.0):
     """pack_liquid_many straight into the padded layout: one stacked
@@ -183,6 +210,43 @@ def pack_many_padded(plan, rgrid: ResidentGrid, fields: Sequence,
         out.append(sl[0] if x.ndim == 1 else sl)
         o += k
     return out
+
+
+def padded_step_spill(cfg: SimConfig, pos: jnp.ndarray, n_liquid: int,
+                      fields: Sequence, body):
+    """Non-resident engine-step entry with an overflow-capacity fallback.
+
+    Runs ``body(grid, comm, packed) -> pytree`` at cfg.cell_capacity; when
+    this step's occupancy would overflow it, the SAME body runs at
+    cfg.cell_capacity_spill instead — the two capacities are the branches of
+    one ``lax.cond`` sharing one binning prep (cell ids + argsort + ranks),
+    so the common case pays only the tight capacity's pack/scatter cost
+    (slot count is linear in capacity: C=16 measured +18% over C=24 at 1M)
+    and a compression spike keeps every particle interacting instead of
+    dropping it for the step (the reference drops with a host print,
+    HashGrid.py:73).  Both branches must return identical pytree shapes —
+    solver steps return per-particle FluidStates, where capacity never
+    appears.  With cell_capacity_spill <= cell_capacity this is exactly
+    padded_step_head + body."""
+    from .pallas.engine import PaddedEngine
+    from .parallel.comm import PaddedNoComm
+
+    prep = build_prep(pos, cfg)
+
+    def _at(cap):
+        def go(_):
+            plan = make_plan(cfg, cap)
+            grid = grid_from_prep(plan, prep, n_liquid, cfg)
+            eng = PaddedEngine.from_resident(grid, cfg)
+            comm = PaddedNoComm(grid, cfg, engine=eng)
+            packed = pack_many_padded(plan, grid, fields)
+            return body(grid, comm, packed)
+        return go
+
+    if cfg.cell_capacity_spill <= cfg.cell_capacity:
+        return _at(cfg.cell_capacity)(None)
+    return jax.lax.cond(prep.spill, _at(cfg.cell_capacity_spill),
+                        _at(cfg.cell_capacity), None)
 
 
 def padded_step_head(cfg: SimConfig, pos: jnp.ndarray, n_liquid: int,

@@ -398,43 +398,18 @@ def step_resident(rs, cfg: SimConfig):
         pressure_iters=mid.pr_iters)
 
 
-def step(state: FluidState, cfg: SimConfig) -> FluidState:
+def _finish(state: FluidState, mid: MidResult, overflow, vel, omega,
+            vel_guess, kappa, kappa_v) -> FluidState:
+    """Shared step tail: position update + diagnostics + state replace."""
     nl = state.n_liquid
-    fields = [state.vel, state.omega, state.vel_guess, state.kappa,
-              state.kappa_v]
-    if cfg.use_pallas:
-        # padded-direct: the build scatters and the pack gather target the
-        # engine's padded layout, no (C, NC) intermediate or pad-transpose
-        # (resident.padded_step_head)
-        from .. import resident as res
-
-        grid, comm, packed = res.padded_step_head(cfg, state.pos, nl, fields)
-    else:
-        grid = build_grid(state.pos, nl, cfg)
-        comm = NoComm(grid, cfg)
-        packed = pack_liquid_many(grid, fields)
-    mid = step_middle(comm, cfg, *packed,
-                      state.dt, state.last_pressure_iters)
-
-    # --- unpack + position update (dropped/overflow particles keep state) ---
-    mids = [mid.vel, mid.omega, mid.vel_guess, mid.kappa, mid.kappa_v]
-    prevs = [state.vel, state.omega, state.vel_guess, state.kappa,
-             state.kappa_v]
-    if cfg.use_pallas:
-        vel, omega, vel_guess, kappa, kappa_v = res.unpack_many_direct(
-            grid, mids, prevs)
-    else:
-        vel, omega, vel_guess, kappa, kappa_v = unpack_liquid_many(
-            grid, mids, prevs)
     pos = state.pos.at[:, :nl].add(vel * mid.new_dt)    # update_pos
-
     diag = StepDiagnostics(
         divergence_iters=mid.div_iters,
         pressure_iters=mid.pr_iters,
         viscosity_iters=mid.visc_iters,
         density_error=mid.err,
         density_error_pre=mid.err_pre,
-        neighbor_overflow=grid.overflow,
+        neighbor_overflow=overflow,
         vel_max=jnp.sqrt(mid.vmax_sq),
     )
     return state.replace(
@@ -450,3 +425,37 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
         last_pressure_iters=mid.pr_iters,
         diag=diag,
     )
+
+
+def step(state: FluidState, cfg: SimConfig) -> FluidState:
+    nl = state.n_liquid
+    fields = [state.vel, state.omega, state.vel_guess, state.kappa,
+              state.kappa_v]
+    prevs = [state.vel, state.omega, state.vel_guess, state.kappa,
+             state.kappa_v]
+    if cfg.use_pallas:
+        # padded-direct: the build scatters and the pack gather target the
+        # engine's padded layout, no (C, NC) intermediate or pad-transpose;
+        # a C-overflow step takes the wider lax.cond branch instead of
+        # dropping particles (resident.padded_step_spill)
+        from .. import resident as res
+
+        def body(grid, comm, packed):
+            mid = step_middle(comm, cfg, *packed,
+                              state.dt, state.last_pressure_iters)
+            mids = [mid.vel, mid.omega, mid.vel_guess, mid.kappa,
+                    mid.kappa_v]
+            outs = res.unpack_many_direct(grid, mids, prevs)
+            return _finish(state, mid, grid.overflow, *outs)
+
+        return res.padded_step_spill(cfg, state.pos, nl, fields, body)
+
+    grid = build_grid(state.pos, nl, cfg)
+    comm = NoComm(grid, cfg)
+    packed = pack_liquid_many(grid, fields)
+    mid = step_middle(comm, cfg, *packed,
+                      state.dt, state.last_pressure_iters)
+    # unpack + position update (dropped/overflow particles keep state)
+    mids = [mid.vel, mid.omega, mid.vel_guess, mid.kappa, mid.kappa_v]
+    outs = unpack_liquid_many(grid, mids, prevs)
+    return _finish(state, mid, grid.overflow, *outs)

@@ -369,34 +369,39 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
     fields = [state.vel, state.vel_guess, state.pressure]
+    prevs = [state.vel, state.pressure, state.vel_guess]
+
+    def _finish(comm, overflow, mid, vel, pressure, vel_guess):
+        pos = state.pos.at[:, :nl].add(vel * dt)
+        diag = StepDiagnostics(
+            pressure_iters=mid.iters,
+            viscosity_iters=mid.visc_iters,
+            density_error=mid.err,
+            density_error_pre=mid.err_pre,
+            neighbor_overflow=overflow,
+            vel_max=jnp.sqrt(jnp.maximum(
+                comm.lmax(jnp.sum(mid.vel * mid.vel, axis=0)), 0.0)),
+        )
+        return state.replace(pos=pos, vel=vel,
+                             pressure=pressure,
+                             vel_guess=vel_guess,
+                             time=state.time + dt, diag=diag)
+
     if cfg.use_pallas:
         from .. import resident as res
 
-        grid, comm, packed = res.padded_step_head(cfg, state.pos, nl, fields)
-    else:
-        grid = build_grid(state.pos, nl, cfg)
-        comm = NoComm(grid, cfg)
-        packed = pack_liquid_many(grid, fields)
+        def body(grid, comm, packed):
+            mid = step_middle(comm, cfg, *packed, dt)
+            outs = res.unpack_many_direct(
+                grid, [mid.vel, mid.pressure, mid.delta_v], prevs)
+            return _finish(comm, grid.overflow, mid, *outs)
+
+        return res.padded_step_spill(cfg, state.pos, nl, fields, body)
+
+    grid = build_grid(state.pos, nl, cfg)
+    comm = NoComm(grid, cfg)
+    packed = pack_liquid_many(grid, fields)
     mid = step_middle(comm, cfg, *packed, dt)
-
-    mids = [mid.vel, mid.pressure, mid.delta_v]
-    prevs = [state.vel, state.pressure, state.vel_guess]
-    if cfg.use_pallas:
-        vel, pressure, vel_guess = res.unpack_many_direct(grid, mids, prevs)
-    else:
-        vel, pressure, vel_guess = unpack_liquid_many(grid, mids, prevs)
-    pos = state.pos.at[:, :nl].add(vel * dt)
-
-    diag = StepDiagnostics(
-        pressure_iters=mid.iters,
-        viscosity_iters=mid.visc_iters,
-        density_error=mid.err,
-        density_error_pre=mid.err_pre,
-        neighbor_overflow=grid.overflow,
-        vel_max=jnp.sqrt(jnp.maximum(
-            comm.lmax(jnp.sum(mid.vel * mid.vel, axis=0)), 0.0)),
-    )
-    return state.replace(pos=pos, vel=vel,
-                         pressure=pressure,
-                         vel_guess=vel_guess,
-                         time=state.time + dt, diag=diag)
+    outs = unpack_liquid_many(grid, [mid.vel, mid.pressure, mid.delta_v],
+                              prevs)
+    return _finish(comm, grid.overflow, mid, *outs)

@@ -255,34 +255,36 @@ def step(state: FluidState, cfg: SimConfig) -> FluidState:
     dt = state.dt
     from ..parallel.comm import NoComm
 
+    def _finish(comm, overflow, mid, vel, pressure):
+        pos = state.pos.at[:, :nl].add(vel * dt)
+        diag = StepDiagnostics(
+            pressure_iters=mid.iters,
+            density_error=mid.err,
+            density_error_pre=mid.err_pre,
+            neighbor_overflow=overflow,
+            vel_max=jnp.sqrt(jnp.maximum(
+                comm.lmax(jnp.sum(mid.vel * mid.vel, axis=0)), 0.0)),
+        )
+        return state.replace(pos=pos, vel=vel,
+                             pressure=pressure,
+                             time=state.time + dt, diag=diag)
+
     if cfg.use_pallas:
         from .. import resident as res
 
-        grid, comm, (vp,) = res.padded_step_head(cfg, state.pos, nl,
-                                                 [state.vel])
-    else:
-        grid = build_grid(state.pos, nl, cfg)
-        comm = NoComm(grid, cfg)
-        vp = pack_liquid(grid, state.vel)
-    mid = step_middle(comm, cfg, vp, dt)
-    pp, iters, err = mid.pressure, mid.iters, mid.err
-    velp = mid.vel
-    if cfg.use_pallas:
-        vel, pressure = res.unpack_many_direct(grid, [velp, pp],
-                                               [state.vel, state.pressure])
-    else:
-        vel, pressure = unpack_liquid_many(grid, [velp, pp],
-                                           [state.vel, state.pressure])
-    pos = state.pos.at[:, :nl].add(vel * dt)
+        def body(grid, comm, packed):
+            mid = step_middle(comm, cfg, packed[0], dt)
+            vel, pressure = res.unpack_many_direct(
+                grid, [mid.vel, mid.pressure],
+                [state.vel, state.pressure])
+            return _finish(comm, grid.overflow, mid, vel, pressure)
 
-    diag = StepDiagnostics(
-        pressure_iters=iters,
-        density_error=err,
-        density_error_pre=mid.err_pre,
-        neighbor_overflow=grid.overflow,
-        vel_max=jnp.sqrt(jnp.maximum(
-            comm.lmax(jnp.sum(velp * velp, axis=0)), 0.0)),
-    )
-    return state.replace(pos=pos, vel=vel,
-                         pressure=pressure,
-                         time=state.time + dt, diag=diag)
+        return res.padded_step_spill(cfg, state.pos, nl, [state.vel], body)
+
+    grid = build_grid(state.pos, nl, cfg)
+    comm = NoComm(grid, cfg)
+    vp = pack_liquid(grid, state.vel)
+    mid = step_middle(comm, cfg, vp, dt)
+    vel, pressure = unpack_liquid_many(grid, [mid.vel, mid.pressure],
+                                       [state.vel, state.pressure])
+    return _finish(comm, grid.overflow, mid, vel, pressure)

@@ -78,32 +78,36 @@ def step_resident(rs, cfg: SimConfig):
 def step(state: FluidState, cfg: SimConfig) -> FluidState:
     nl = state.n_liquid
     dt = state.dt
+
+    def _finish(comm, overflow, velp, rhop, vel, pressure):
+        pos = state.pos.at[:, :nl].add(vel * dt)
+        diag = StepDiagnostics(
+            density_error=comm.lsum(rhop)
+            / comm.n_liquid() / cfg.rest_density - 1.0,
+            neighbor_overflow=overflow,
+            vel_max=jnp.sqrt(jnp.maximum(
+                comm.lmax(jnp.sum(velp * velp, axis=0)), 0.0)),
+        )
+        return state.replace(
+            pos=pos, vel=vel, pressure=pressure,
+            time=state.time + dt, diag=diag,
+        )
+
     if cfg.use_pallas:
         from .. import resident as res
 
-        grid, comm, (vp,) = res.padded_step_head(cfg, state.pos, nl,
-                                                 [state.vel])
-    else:
-        grid = build_grid(state.pos, nl, cfg)
-        comm = NoComm(grid, cfg)
-        vp = pack_liquid(grid, state.vel)
-    velp, rhop, pp = step_middle(comm, cfg, vp, dt)
-    if cfg.use_pallas:
-        vel, pressure = res.unpack_many_direct(grid, [velp, pp],
-                                               [state.vel, state.pressure])
-    else:
-        vel = unpack_liquid(grid, velp, state.vel)
-        pressure = unpack_liquid(grid, pp, state.pressure)
-    pos = state.pos.at[:, :nl].add(vel * dt)
+        def body(grid, comm, packed):
+            velp, rhop, pp = step_middle(comm, cfg, packed[0], dt)
+            vel, pressure = res.unpack_many_direct(
+                grid, [velp, pp], [state.vel, state.pressure])
+            return _finish(comm, grid.overflow, velp, rhop, vel, pressure)
 
-    diag = StepDiagnostics(
-        density_error=comm.lsum(rhop)
-        / comm.n_liquid() / cfg.rest_density - 1.0,
-        neighbor_overflow=grid.overflow,
-        vel_max=jnp.sqrt(jnp.maximum(
-            comm.lmax(jnp.sum(velp * velp, axis=0)), 0.0)),
-    )
-    return state.replace(
-        pos=pos, vel=vel, pressure=pressure,
-        time=state.time + dt, diag=diag,
-    )
+        return res.padded_step_spill(cfg, state.pos, nl, [state.vel], body)
+
+    grid = build_grid(state.pos, nl, cfg)
+    comm = NoComm(grid, cfg)
+    vp = pack_liquid(grid, state.vel)
+    velp, rhop, pp = step_middle(comm, cfg, vp, dt)
+    vel = unpack_liquid(grid, velp, state.vel)
+    pressure = unpack_liquid(grid, pp, state.pressure)
+    return _finish(comm, grid.overflow, velp, rhop, vel, pressure)
