@@ -203,8 +203,10 @@ def run_throughput(solvers, scales, steps: int, warmup: int,
     for solver in solvers:
         for side in scales:
             use_pallas = side >= 40    # engine wins for every solver at scale
+            t_b = time.time()
             sim = _build(solver, scene, side=side,
                          use_pallas=use_pallas)
+            build_s = time.time() - t_b   # host scene construction budget
             nl = sim.state.n_liquid
             t_c = time.time()
             sim.step()
@@ -228,6 +230,7 @@ def run_throughput(solvers, scales, steps: int, warmup: int,
                 "use_pallas": use_pallas,
                 "overflow": int(sim.telemetry()["neighbor_overflow"]),
                 "first_step_s": round(first_step_s, 1),
+                "build_s": round(build_s, 1),
             }
             rows.append(row)
             print(f"[throughput] {json.dumps(row)}", file=sys.stderr)

@@ -25,10 +25,12 @@ def _budget(n_liquid: int) -> float:
     return BUDGET_1M_S if n_liquid >= 900_000 else BUDGET_SMALL_S
 
 
+BUILD_1M_S = 60.0      # host scene construction (vectorized SceneBuilder)
+
+
 def test_harness_rows_within_budget():
     path = os.path.join(ROOT, "benchmarks", "results.json")
-    if not os.path.exists(path):
-        pytest.skip("no recorded harness results")
+    assert os.path.exists(path), "committed harness results missing"
     with open(path) as f:
         rows = json.load(f).get("throughput", [])
     checked = 0
@@ -40,20 +42,43 @@ def test_harness_rows_within_budget():
         assert fs <= _budget(r["n_liquid"]), (
             f"{r['solver']} @ {r['n_liquid']}: first step {fs:.0f}s "
             f"exceeds the {_budget(r['n_liquid']):.0f}s compile budget")
-    if not checked:
-        pytest.skip("no rows carry first_step_s yet (regen pending)")
+        bs = r.get("build_s")
+        if bs is not None:
+            assert bs <= BUILD_1M_S, (
+                f"{r['solver']} @ {r['n_liquid']}: scene build {bs:.0f}s "
+                f"exceeds the {BUILD_1M_S:.0f}s host budget")
+    assert checked, "no committed throughput row carries first_step_s"
+
+
+def _latest_bench_record():
+    """Newest of the driver's BENCH_r*.json and the repo-side
+    benchmarks/bench_latest.json (written after in-round bench runs)."""
+    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    local = os.path.join(ROOT, "benchmarks", "bench_latest.json")
+    if os.path.exists(local):
+        paths.append(local)
+    if not paths:
+        return None
+    latest = max(paths, key=os.path.getmtime)
+    with open(latest) as f:
+        return json.load(f)
 
 
 def test_bench_headline_within_budget():
-    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
-    if not paths:
-        pytest.skip("no driver bench records")
-    with open(paths[-1]) as f:
-        rec = json.load(f)
+    rec = _latest_bench_record()
+    assert rec is not None, "no bench records committed"
     cfg = rec.get("config") or {}
     fs = cfg.get("first_step_s")
-    if fs is None:
-        pytest.skip("latest bench record predates first_step_s")
+    assert fs is not None, "latest bench record lacks first_step_s"
     n = 1_000_000 if "1M" in rec.get("metric", "") else 100_000
     assert fs <= _budget(n), (
         f"bench first step {fs:.0f}s exceeds the {_budget(n):.0f}s budget")
+    # host scene construction (the dominant startup cost before the
+    # vectorized SceneBuilder: 391.7 s at 1M) and the REAL cold AOT compile
+    bs = cfg.get("build_s")
+    if bs is not None and n >= 900_000:
+        assert bs <= BUILD_1M_S, (
+            f"1M scene build {bs:.0f}s exceeds {BUILD_1M_S:.0f}s")
+    if cfg.get("aot_mode") == "compile":
+        assert cfg["aot_s"] <= _budget(n), (
+            f"AOT build {cfg['aot_s']:.0f}s exceeds the budget")

@@ -535,6 +535,154 @@ def gather_state(srs: SlabResState, proto: FluidState,
 # Per-step local rebin + migration
 # ---------------------------------------------------------------------------
 
+def _local_resort(plan, nc_loc: int, n_liquid: int, S: int, pid_shape,
+                  xp_shape, all_dest, all_pid, xp_f, dyn_f, dyn, cand_data):
+    """Local slot-space full re-sort shared by the rebuild branch of the
+    resident front-end and the padded-direct front-end: place every alive
+    source (slot columns first, candidate columns appended) by
+    (cell, rank-in-run), move all data with ONE stacked source-map gather,
+    park the failures (cell full / not-own destination) in a fresh side
+    buffer.  Returns (pid, xp, dyn, spos, sdyn, spid, ovf, lost)."""
+    C = plan.C
+    nflat = xp_f.shape[1]
+    D = cand_data.shape[0] - 3
+    KT = all_pid.shape[0] - nflat
+    NTOT = nflat + KT
+    order = jnp.argsort(jnp.where(all_pid >= 0, all_dest, nc_loc + 1))
+    sdest = jnp.where(all_pid[order] >= 0, all_dest[order], nc_loc + 1)
+    it = jnp.arange(NTOT, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.ones((1,), bool),
+                              sdest[1:] != sdest[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, it, 0))
+    rank = it - run_start
+    ok = (rank < C) & (sdest < nc_loc)
+    px_d = jnp.minimum(sdest, nc_loc - 1) // plan.P
+    pp_d = jnp.minimum(sdest, nc_loc - 1) - px_d * plan.P
+    flat = jnp.where(ok, _flat_slot(plan, px_d, rank, pp_d), nflat)
+
+    # source map: dest slot -> source column in [slots | candidates]
+    src_map = jnp.full((nflat,), NTOT, jnp.int32).at[flat].set(
+        order, mode="drop")
+    source = jnp.concatenate([
+        jnp.concatenate([xp_f] + dyn_f, axis=0),
+        cand_data,
+        jnp.concatenate([jnp.full((3, 1), EMPTY_POS, jnp.float32),
+                         jnp.zeros((D, 1), jnp.float32)], axis=0)],
+        axis=1)
+    got = source[:, src_map]
+    pid_f = jnp.full((nflat,), -1, jnp.int32).at[flat].set(
+        all_pid[order], mode="drop")
+    liq_f = (pid_f >= 0) & (pid_f < n_liquid)
+    xp_new = jnp.where((pid_f >= 0)[None], got[:3], EMPTY_POS)
+    dyn_new, o = [], 3
+    for d in dyn:
+        k = d.shape[0] if d.ndim == 4 else 1
+        dyn_new.append(jnp.where(liq_f[None], got[o:o + k], 0.0)
+                       .reshape(d.shape))
+        o += k
+
+    fail = (all_pid[order] >= 0) & ~ok
+    fcs = jnp.cumsum(fail.astype(jnp.int32))
+    seat = jnp.full((S,), -1, jnp.int32).at[
+        jnp.where(fail & (fcs - 1 < S), fcs - 1, S)].set(it, mode="drop")
+    sc2 = jnp.maximum(seat, 0)
+    src_cols = order[sc2]
+    new_spid = jnp.where(seat >= 0, all_pid[order][sc2], -1)
+    pdata = source[:, jnp.where(seat >= 0, src_cols, NTOT)]
+    return (pid_f.reshape(pid_shape),
+            xp_new.reshape(xp_shape), tuple(dyn_new),
+            pdata[:3], jnp.where((new_spid >= 0)
+                                 & (new_spid < n_liquid), pdata[3:], 0.0),
+            new_spid,
+            jnp.minimum(fcs[-1], S),
+            jnp.maximum(fcs[-1] - S, 0))
+
+
+def _migrate_and_rebuild(cfg: SimConfig, cfg_loc: SimConfig, plan, n: int,
+                         gxl: int, n_liquid: int, pid, xp, dyn, spos, sdyn,
+                         spid, kmig: int):
+    """Padded-direct front-end (the default multi-chip step): ppermute the
+    slab crossers, then re-sort the whole slab from scratch in local slot
+    space EVERY step — the decomposition of the measured-best single-chip
+    structure (per-step build, no incremental rebin, no cond; single-chip
+    A/B: padded-direct 2.95e6 vs resident 2.52e6 at 1M, CLAUDE.md perf
+    history).  Per-device glue-op census: 1.27x the single-chip step's
+    jaxpr ops vs 2.32x for the resident front (tests/test_resident_slab.py
+    ::test_slab_direct_glue_census).
+
+    No mover detection exists: emigrants are classified straight off the
+    slot destinations.  Overspilled emigrants (> kmig one step) keep their
+    seats, fail local placement (destination not own) and re-park in the
+    side buffer to retry next step — nothing is destroyed (ADVICE r4).
+    Returns (pid, xp, dyn, spos, sdyn, spid, ovf, lost)."""
+    dev = jax.lax.axis_index(AXIS)
+    C, PP, NX = plan.C, plan.PP, plan.NX
+    nflat = NX * C * PP
+    nc_loc = cfg_loc.num_cells
+    S = spid.shape[0]
+    own_np = np.zeros((NX, 1, 1), bool)
+    own_np[1 + GHOST:1 + GHOST + gxl] = True
+    own_slot = jnp.broadcast_to(jnp.asarray(own_np), (NX, C, PP)).ravel()
+
+    xp_f = xp.reshape(3, nflat)
+    valid = (pid >= 0).ravel()
+    liquid = valid & (pid < n_liquid).ravel()
+    dyn_f = [d.reshape(-1, nflat) for d in dyn]
+
+    # --- emigrants straight off the slots (liquid own slots whose new
+    # position left the slab; CFL bounds movement << one cell, so only
+    # adjacent slabs exchange) ---
+    p_real, minor, inbox, own_dest = _dest_cells(cfg, n, dev, xp_f)
+    go_l = liquid & own_slot & inbox & (p_real < GHOST)
+    go_r = liquid & own_slot & inbox & (p_real >= GHOST + gxl)
+
+    def pack_dir(go):
+        gcs = jnp.cumsum(go.astype(jnp.int32))
+        gw = jnp.where(go & (gcs - 1 < kmig), gcs - 1, kmig)
+        sel = jnp.full((kmig,), -1, jnp.int32).at[gw].set(
+            jnp.arange(nflat, dtype=jnp.int32), mode="drop")
+        ok = sel >= 0
+        sc = jnp.maximum(sel, 0)
+        data = jnp.concatenate([xp_f[:, sc]] + [d[:, sc] for d in dyn_f],
+                               axis=0)
+        pay = jnp.where(ok[None], data, 0.0)
+        pay = pay.at[:3].set(jnp.where(ok[None], pay[:3], EMPTY_POS))
+        ppid = jnp.where(ok, pid.ravel()[sc], -1)
+        return pay, ppid, go & (gcs - 1 < kmig)     # sent mask (slot space)
+
+    pay_l, pid_l, sent_l = pack_dir(go_l)
+    pay_r, pid_r, sent_r = pack_dir(go_r)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    arr_pay = jnp.concatenate([jax.lax.ppermute(pay_r, AXIS, fwd),
+                               jax.lax.ppermute(pay_l, AXIS, bwd)], axis=1)
+    arr_pid = jnp.concatenate([jax.lax.ppermute(pid_r, AXIS, fwd),
+                               jax.lax.ppermute(pid_l, AXIS, bwd)])
+    # ring-wrap guard: edge devices take no arrivals from outside the domain
+    ai = jnp.arange(2 * kmig)
+    arr_pid = jnp.where((dev == 0) & (ai < kmig), -1, arr_pid)
+    arr_pid = jnp.where((dev == n - 1) & (ai >= kmig), -1, arr_pid)
+
+    # --- candidate pool: side-buffer retries + arrivals (every parked
+    # particle retries each step; the re-sort parks only what still has no
+    # room or is still in transit) ---
+    cand_data = jnp.concatenate(
+        [jnp.concatenate([spos, sdyn], axis=0), arr_pay], axis=1)
+    cand_pid = jnp.concatenate([spid, arr_pid])
+    cp, cm, cin, cown = _dest_cells(cfg, n, dev, cand_data[:3])
+    cand_dest = jnp.where((cand_pid >= 0) & cown, cp * plan.P + cm, nc_loc)
+
+    # --- one local re-sort over [surviving slots | candidates] ---
+    slot_alive = valid & own_slot & ~sent_l & ~sent_r
+    slot_dest = jnp.where(slot_alive & own_dest,
+                          p_real * plan.P + minor, nc_loc)
+    all_dest = jnp.concatenate([slot_dest, cand_dest])
+    all_pid = jnp.concatenate([jnp.where(slot_alive, pid.ravel(), -1),
+                               cand_pid])
+    return _local_resort(plan, nc_loc, n_liquid, S, pid.shape, xp.shape,
+                         all_dest, all_pid, xp_f, dyn_f, dyn, cand_data)
+
+
 def _rebin_and_migrate(cfg: SimConfig, cfg_loc: SimConfig, plan, n: int,
                        gxl: int, n_liquid: int, pid, xp, dyn, spos, sdyn,
                        spid, since, budget: int, kmig: int):
@@ -741,55 +889,9 @@ def _rebin_and_migrate(cfg: SimConfig, cfg_loc: SimConfig, plan, n: int,
         all_dest = jnp.concatenate([slot_dest, dest])
         all_pid = jnp.concatenate([jnp.where(slot_alive, pid.ravel(), -1),
                                    cand_pid])
-        NTOT = nflat + KT
-        order = jnp.argsort(jnp.where(all_pid >= 0, all_dest, nc_loc + 1))
-        sdest = jnp.where(all_pid[order] >= 0, all_dest[order], nc_loc + 1)
-        it = jnp.arange(NTOT, dtype=jnp.int32)
-        change = jnp.concatenate([jnp.ones((1,), bool),
-                                  sdest[1:] != sdest[:-1]])
-        run_start = jax.lax.cummax(jnp.where(change, it, 0))
-        rank = it - run_start
-        ok = (rank < C) & (sdest < nc_loc)
-        px_d = jnp.minimum(sdest, nc_loc - 1) // plan.P
-        pp_d = jnp.minimum(sdest, nc_loc - 1) - px_d * plan.P
-        flat = jnp.where(ok, _flat_slot(plan, px_d, rank, pp_d), nflat)
-
-        # source map: dest slot -> source column in [slots | candidates]
-        src_map = jnp.full((nflat,), NTOT, jnp.int32).at[flat].set(
-            order, mode="drop")
-        source = jnp.concatenate([
-            jnp.concatenate([xp_f] + dyn_f, axis=0),
-            cand_data,
-            jnp.concatenate([jnp.full((3, 1), EMPTY_POS, jnp.float32),
-                             jnp.zeros((D, 1), jnp.float32)], axis=0)],
-            axis=1)
-        got = source[:, src_map]
-        pid_f = jnp.full((nflat,), -1, jnp.int32).at[flat].set(
-            all_pid[order], mode="drop")
-        liq_f = (pid_f >= 0) & (pid_f < n_liquid)
-        xp_new = jnp.where((pid_f >= 0)[None], got[:3], EMPTY_POS)
-        dyn_new, o = [], 3
-        for d in dyn:
-            k = d.shape[0] if d.ndim == 4 else 1
-            dyn_new.append(jnp.where(liq_f[None], got[o:o + k], 0.0)
-                           .reshape(d.shape))
-            o += k
-
-        fail = (all_pid[order] >= 0) & ~ok
-        fcs = jnp.cumsum(fail.astype(jnp.int32))
-        seat = jnp.full((S,), -1, jnp.int32).at[
-            jnp.where(fail & (fcs - 1 < S), fcs - 1, S)].set(it, mode="drop")
-        sc2 = jnp.maximum(seat, 0)
-        src_cols = order[sc2]
-        new_spid = jnp.where(seat >= 0, all_pid[order][sc2], -1)
-        pdata = source[:, jnp.where(seat >= 0, src_cols, NTOT)]
-        return (pid_f.reshape(pid.shape),
-                xp_new.reshape(xp.shape), tuple(dyn_new),
-                pdata[:3], jnp.where((new_spid >= 0)
-                                     & (new_spid < n_liquid), pdata[3:], 0.0),
-                new_spid,
-                jnp.int32(0), jnp.minimum(fcs[-1], S),
-                jnp.maximum(fcs[-1] - S, 0))
+        out = _local_resort(plan, nc_loc, n_liquid, S, pid.shape, xp.shape,
+                            all_dest, all_pid, xp_f, dyn_f, dyn, cand_data)
+        return out[:6] + (jnp.int32(0),) + out[6:]
 
     out = jax.lax.cond(need_full, _full, _inc, None)
     (pid2, xp2, dyn2, spos2, sdyn2, spid2, since2, ovf, lost) = out
@@ -800,12 +902,25 @@ def _rebin_and_migrate(cfg: SimConfig, cfg_loc: SimConfig, plan, n: int,
 # The step
 # ---------------------------------------------------------------------------
 
+def step_slab_direct(srs: SlabResState, cfg: SimConfig, mesh: Mesh,
+                     solver: str = "dfsph") -> SlabResState:
+    """One solver step under the slab decomposition with the PADDED-DIRECT
+    front-end: migrate + local full re-sort every step (_migrate_and_rebuild)
+    instead of the incremental rebin — the decomposition of the
+    measured-best single-chip structure (VERDICT r4 directive 5)."""
+    return step_slab_resident(srs, cfg, mesh, solver, front="direct")
+
+
 def step_slab_resident(srs: SlabResState, cfg: SimConfig, mesh: Mesh,
-                       solver: str = "dfsph") -> SlabResState:
-    """One solver step, resident + decomposed: rebin/migrate, ghost refresh,
+                       solver: str = "dfsph",
+                       front: str = "resident") -> SlabResState:
+    """One solver step, decomposed: rebin-or-rebuild/migrate, ghost refresh,
     the UNCHANGED comm-parameterized solver middle on a per-slab
     PaddedEngine (fused DFSPH iterations included), local advance — all in
-    ONE shard_map."""
+    ONE shard_map.  ``front`` picks the binning maintainer: "resident"
+    (incremental hole-filling rebin + cadenced/spike rebuild cond) or
+    "direct" (per-step local re-sort, fewer glue ops — the default through
+    step_slab_direct; see _migrate_and_rebuild)."""
     from ..solvers import dfsph, iisph, pcisph, sesph
     from .slab import _MIDDLES
 
@@ -839,10 +954,16 @@ def step_slab_resident(srs: SlabResState, cfg: SimConfig, mesh: Mesh,
         dt, last_pr = rest[nd + 4:]
         since_s = since[0]
 
-        (pid, xp, dyn, spos, sdyn, spid, since_s, ovf,
-         lost) = _rebin_and_migrate(
-            cfg, cfg_loc, plan, n, gxl, nl, pid, xp, dyn, spos, sdyn,
-            spid, since_s, budget, kmig)
+        if front == "direct":
+            (pid, xp, dyn, spos, sdyn, spid, ovf,
+             lost) = _migrate_and_rebuild(
+                cfg, cfg_loc, plan, n, gxl, nl, pid, xp, dyn, spos, sdyn,
+                spid, kmig)
+        else:
+            (pid, xp, dyn, spos, sdyn, spid, since_s, ovf,
+             lost) = _rebin_and_migrate(
+                cfg, cfg_loc, plan, n, gxl, nl, pid, xp, dyn, spos, sdyn,
+                spid, since_s, budget, kmig)
 
         # ghost refresh of the binning state; dynamic fields refresh inside
         # the engine adapter per sweep

@@ -32,6 +32,13 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
+# Last compile_or_load outcome: {"mode": "load"|"compile", "seconds": float}.
+# The REAL cold-compile cost hides behind the cache on reruns; bench.py
+# records this so the compile budget bounds the actual AOT build time, not
+# just the warm first step (VERDICT r4 weak #7).
+last_stats: dict = {}
+
+
 def _aval_sig(tree) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     parts = [str(treedef)]
@@ -113,6 +120,7 @@ def compile_or_load(fn, args, cache_dir: str, *, fn_tag: str = "",
                 lambda x: jax.numpy.zeros(x.shape, x.dtype), args)
             out = compiled(*probe)
             _np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            last_stats.update(mode="load", seconds=time.time() - t0)
             if verbose:
                 _log(f"[aot] loaded {tag} in {time.time() - t0:.1f}s ({path})")
             return compiled
@@ -122,6 +130,7 @@ def compile_or_load(fn, args, cache_dir: str, *, fn_tag: str = "",
                      "recompiling")
     t0 = time.time()
     compiled = jitted.lower(*args).compile()
+    last_stats.update(mode="compile", seconds=time.time() - t0)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         # deserialize_and_load defaults execution_devices to ALL of the
