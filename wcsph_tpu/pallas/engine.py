@@ -93,7 +93,12 @@ def make_plan(cfg: SimConfig, cap: int) -> _Plan:
     assert min(gx, gy, gz) >= 3, "engine needs >= 3 cells per axis"
     assert gz + 2 <= _MARGIN, "gz too large for the fixed minor margin"
     P = gy * gz
-    nq = max(1, -(-P // 1280))
+    # per-program scratch scales with C * Wq: shrink the chunk target for
+    # wide capacities (spill branches, junction-heavy shells) so scoped
+    # VMEM stays within the 16 MB stack at any C (a C=48 spill branch
+    # measured 64 KB over at the C<=24 target)
+    target = 1280 if cap <= 24 else max(384, 1280 * 24 // cap)
+    nq = max(1, -(-P // target))
     Q = _round_up(-(-P // nq), 128)
     return _Plan(C=cap, NRB=cap // 8, gx=gx, gy=gy, gz=gz, P=P, Q=Q, nq=nq,
                  PP=2 * _MARGIN + nq * Q, NX=gx + 2, Wq=Q + 2 * _MARGIN)
@@ -890,6 +895,143 @@ def _build_fused_iter(plan: _Plan, h: float, interpret: bool):
         # indices count the scalar-prefetch operands: vel_in = 6,
         # acc_in = 7 (verified semantics in interpret mode)
         input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )
+
+
+def _build_fused_tension(plan: _Plan, cfg: SimConfig, interpret: bool):
+    """Surface normals + tension/adhesion acceleration in ONE pallas_call
+    (VERDICT r4 weak #9: as two separate sweeps + their XLA folds the
+    tension pipeline cost ~40% of flagship throughput).  Two chained
+    stencils via the sequential phase axis, exactly the _build_fused_iter
+    mechanics:
+
+      phase 0: RMW-accumulates the raw normal sums
+                   n[recv] += m * (liq/rho)_j * gs * r      (dual-sided)
+               into the out_n buffer (aliased to a caller ZEROS array, so
+               the accumulation base starts valid and inactive programs
+               leave benign zeros).
+      phase 1: reads the now-FINAL normal rows, scales by h in VMEM (the
+               two-sweep path's caller-side scale, engine.surface_normals),
+               and RMW-accumulates the full _TensionAccel emission
+               (cohesion + curvature + boundary adhesion) into out_acc
+               (also aliased caller zeros).
+
+    Emits are the SAME singletons as the two-sweep path
+    (_SurfaceNormals.sym/_TensionAccel.sym), so the pair math cannot
+    drift; accumulation ORDER differs (windowed accumulator vs
+    interior/margin splits) — differential tests are tolerance-based."""
+    C, Wq = plan.C, plan.Wq
+    h = cfg.support_radius
+    n_emit = _SurfaceNormals(cfg)
+    t_emit = _TensionAccel(cfg)
+
+    def kernel(nz_ref, act_ref, xp, ril, rho, liq, sol, n_in, acc_in,
+               out_n, out_acc, bxp, baux, bacc, sem):
+        del n_in, acc_in        # read through their aliased output refs
+        ph = pl.program_id(0)
+        px = pl.program_id(1)
+        q = pl.program_id(2)
+        pair_sweep = _fused_pair_loop(plan, h, act_ref, px, q, bacc, None)
+        rows = _fused_rows(plan, px, q)
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 0))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    # accumulation base: earlier programs' partial sums
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_n, c, i), bacc.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(ril, 0, i), baux.at[0, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            # field map: 0 = xp, 1 = rho_inv_liq (_SurfaceNormals order)
+            pair_sweep({0: (bxp, 0), 1: (baux, 0)}, n_emit, gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[c, i], rows(out_n, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+        @pl.when((nz_ref[px, q] != 0) & (ph == 1))
+        def _():
+            copies = []
+            for c in range(3):
+                for i in range(2):
+                    copies.append(pltpu.make_async_copy(
+                        rows(xp, c, i), bxp.at[c, i], sem))
+                    # the FINAL raw normals (all phase-0 programs ran)
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_n, c, i), baux.at[1 + c, i], sem))
+                    # accumulation base of the accel output (caller zeros
+                    # + earlier programs' mirror contributions)
+                    copies.append(pltpu.make_async_copy(
+                        rows(out_acc, c, i), bacc.at[c, i], sem))
+            for i in range(2):
+                copies.append(pltpu.make_async_copy(
+                    rows(rho, 0, i), baux.at[0, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(liq, 0, i), baux.at[4, i], sem))
+                copies.append(pltpu.make_async_copy(
+                    rows(sol, 0, i), baux.at[5, i], sem))
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+
+            # n3 = h * raw sums (the two-sweep path scales in XLA)
+            for c in range(3):
+                for i in range(2):
+                    baux[1 + c, i] = baux[1 + c, i] * h
+
+            # field map: 0 = xp, 1 = rho, 2 = n3, 3 = liq, 4 = sol
+            # (_TensionAccel order)
+            pair_sweep({0: (bxp, 0), 1: (baux, 0), 2: (baux, 1),
+                        3: (baux, 4), 4: (baux, 5)}, t_emit, gated=False)
+
+            wb = [pltpu.make_async_copy(bacc.at[c, i], rows(out_acc, c, i),
+                                        sem)
+                  for c in range(3) for i in range(2)]
+            for cp in wb:
+                cp.start()
+            for cp in wb:
+                cp.wait()
+
+    NX, PP, nq = plan.NX, plan.PP, plan.nq
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(2, plan.gx, nq),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bxp
+            pltpu.VMEM((6, 2, C, Wq), jnp.float32),   # baux
+            pltpu.VMEM((3, 2, C, Wq), jnp.float32),   # bacc
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+            jax.ShapeDtypeStruct((3, NX, C, PP), jnp.float32),
+        ],
+        # indices count the scalar-prefetch operands: n_in = 7, acc_in = 8
+        input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
@@ -2854,6 +2996,22 @@ class PaddedEngine(SweepEngine):
                         self.vol_pad, gatep[None], kfp[None], velp,
                         acc_seed[None])
         return vel, acc[0]
+
+    def fused_tension(self, rhop):
+        """(h-scaled normals, cohesion+curvature+adhesion accel) in ONE
+        two-phase kernel (see _build_fused_tension) — replaces the
+        surface_normals + tension_accel sweep pair (VERDICT r4 weak #9).
+        ``fine`` plan: the tension body keeps ~12 pair temporaries live."""
+        p = self.plan_fine
+        call = _build_fused_tension(p, self.cfg, self.interpret)
+        ril = jnp.where(self.liq_mask,
+                        1.0 / jnp.maximum(rhop, 1.0), 0.0)
+        zshape = (3,) + self.xp_pad.shape[1:]
+        n_raw, acc = call(self.nz_sym_f, self.act_sym_f, self.xp_pad,
+                          ril[None], rhop[None], self.liq_pad, self.sol_pad,
+                          jnp.zeros(zshape, jnp.float32),
+                          jnp.zeros(zshape, jnp.float32))
+        return self.cfg.support_radius * n_raw, acc
 
     def fused_pcisph_iter(self, vel_starp, pp, dt, coff, adv_seed,
                           acc_seed):
