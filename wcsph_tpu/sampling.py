@@ -199,10 +199,15 @@ def _run_chunk(prob: _Problem, z0: int, pts, normals, fids,
         acc_cnt = jnp.sum(seeded.astype(jnp.int32), axis=0)
 
     n_trials = min(trials, prob.sample_cap)
+    # _phase_step never reads prob.origin (positions are absolute; phase
+    # colors ride the dynamic z0) — strip it from the STATIC jit key, or
+    # every z-chunk recompiles the identical program (~5 min/chunk on the
+    # TPU: the round-5 showcase run spent an hour in exactly that)
+    prob_key = prob._replace(origin=(0.0, 0.0, 0.0))
     for trial in range(n_trials):
         for phase in range(27):
             acc_p, acc_n, acc_f, acc_cnt = _phase_step(
-                prob, jnp.int32(phase), jnp.int32(trial), jnp.int32(z0),
+                prob_key, jnp.int32(phase), jnp.int32(trial), jnp.int32(z0),
                 tp, tn, tf, acc_p, acc_n, acc_f, acc_cnt)
     return np.asarray(acc_p), np.asarray(acc_n), np.asarray(acc_f)
 
@@ -256,8 +261,13 @@ def poisson_disk_sample(verts: np.ndarray, faces: np.ndarray, radius: float,
     carry_n = np.zeros((0, 3), np.float32)
     carry_f = np.zeros((0,), np.int32)
     carry_cz = np.zeros((0,), np.int64)
+    import sys as _sys
+    import time as _time
+    _t0 = _time.time()
     for za in range(0, gz, nz_own):
         zb = min(za + nz_own, gz)
+        print(f"[sampler] chunk z[{za}:{zb}) of {gz} "
+              f"({_time.time() - _t0:.0f}s)", file=_sys.stderr, flush=True)
         z_org = za - 2                        # local grid origin (global z)
         origin = (float(lo[0]), float(lo[1]), float(lo[2] + z_org * cell))
         prob = _Problem(radius=radius, grid_res=sub_res, origin=origin,
