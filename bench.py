@@ -119,15 +119,19 @@ def bench_once(n_side: int, warmup: int, steps: int, solver: str = "dfsph",
         "cell_capacity_spill": int(sim.cfg.cell_capacity_spill),
         "warmup_s": round(warmup_s, 1),
         "first_step_s": round(first_step_s, 1),
-        "build_s": round(t0 - t_build - warmup_s, 1),
         "overflow": int(tel["neighbor_overflow"]),
     }
     from wcsph_tpu.utils import aot as _aot
+    build_s = t0 - t_build - warmup_s
     if _aot.last_stats:
         # the REAL cold-compile cost (the warm first_step_s only measures
-        # the AOT/persistent-cache restore; VERDICT r4 weak #7)
+        # the AOT/persistent-cache restore; VERDICT r4 weak #7).  AOT
+        # compile happens inside Simulation(); keep it out of build_s so
+        # the scene-construction budget measures host work only.
         config["aot_mode"] = _aot.last_stats["mode"]
         config["aot_s"] = round(_aot.last_stats["seconds"], 1)
+        build_s -= _aot.last_stats["seconds"]
+    config["build_s"] = round(build_s, 1)
     return nl * steps / elapsed, nl, tel, config
 
 

@@ -90,11 +90,14 @@ def _build(solver: str, scene: str, side: int = 20, use_pallas: bool = False):
         raise ValueError(scene)
     lo, hi = sc.domain(pad=6 * r)
     # resident mode measured slower than the per-step pack/build at scale
-    # (round-4 A/B, ROADMAP.md) — throughput rows run the bench default
+    # (round-4 A/B, ROADMAP.md) — throughput rows run the bench default:
+    # tight C=16 with the lax.cond spill fallback to 24 (round 5)
+    cap = over.pop("cell_capacity", 16 if use_pallas else 16)
     cfg = default_config(solver, particle_radius=r, domain_min=lo,
                          domain_max=hi, use_pallas=use_pallas,
-                         cell_capacity=over.pop("cell_capacity",
-                                                24 if use_pallas else 16),
+                         cell_capacity=cap,
+                         cell_capacity_spill=(24 if use_pallas and cap < 24
+                                              else 0),
                          resident=False, **over)
     return Simulation(sc, cfg, solver=solver)
 
