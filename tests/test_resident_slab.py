@@ -19,32 +19,9 @@ from wcsph_tpu.simulation import default_config
 from wcsph_tpu.solvers import dfsph
 from wcsph_tpu.state import init_state
 
-R = 0.025
+from _slab_utils import (R, mesh8, scene_cfg as _scene_cfg,  # noqa: F401
+                         conserved as _conserved, glue_eqns as _glue_eqns)
 
-
-@pytest.fixture(scope="module")
-def mesh8():
-    assert len(jax.devices()) >= 8
-    return halo.Mesh(np.asarray(jax.devices()[:8]), (halo.AXIS,))
-
-
-def _scene_cfg(**over):
-    sc = scene.dam_break(particle_radius=R, fluid_dims=(6, 6, 6),
-                         box_extent=0.7)
-    lo, hi = sc.domain(pad=4 * R)
-    # fixed dt: adaptive-dt feedback branches flip on rank-order float
-    # drift (see test_slab.py)
-    cfg = default_config("dfsph", particle_radius=R, domain_min=lo,
-                         domain_max=hi, use_pallas=True,
-                         adaptive_dt=False, dt_init=3e-3, **over)
-    return sc, halo.slab_config(cfg, 8)
-
-
-def _conserved(srs, n_total):
-    pids = np.concatenate([np.asarray(srs.pid).ravel(),
-                           np.asarray(srs.side_pid)])
-    pids = pids[pids >= 0]
-    return len(pids) == n_total and len(np.unique(pids)) == n_total
 
 
 def test_resident_slab_matches_single_device(mesh8):
@@ -102,71 +79,6 @@ def test_resident_slab_rebuild_cadence(mesh8):
     assert _conserved(srs, state.n_total)
 
 
-@pytest.mark.parametrize("solver", ["sesph", "pcisph", "iisph"])
-def test_resident_slab_other_solvers(mesh8, solver):
-    """All four solvers run under the resident decomposition (the non-DFSPH
-    loops take their per-sweep engine paths; kappa seats carry pressure)."""
-    sc = scene.dam_break(particle_radius=R, fluid_dims=(5, 5, 5),
-                         box_extent=0.6)
-    lo, hi = sc.domain(pad=4 * R)
-    cfg = default_config(solver, particle_radius=R, domain_min=lo,
-                         domain_max=hi, use_pallas=True)
-    cfg = halo.slab_config(cfg, 8)
-    state = init_state(sc, cfg)
-    state = state.replace(dt=jnp.float32(cfg.dt_init))
-    from wcsph_tpu.simulation import get_solver
-    sol = get_solver(solver)
-    if hasattr(sol, "prepare"):
-        state = sol.prepare(state, cfg)
-
-    names = rsl.resident_fields(solver)
-    srs = rsl.slab_res_init(state, cfg, mesh8, names)
-    stepn = jax.jit(lambda s: rsl.step_slab_resident(s, cfg, mesh8, solver))
-    ref = state
-    step1 = jax.jit(lambda s: sol.step(s, cfg))
-    for _ in range(4):
-        ref = step1(ref)
-        srs = stepn(srs)
-    got = rsl.gather_state(srs, state, names)
-    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
-                               rtol=2e-3, atol=6e-4)
-    assert _conserved(srs, state.n_total)
-    assert np.isfinite(np.asarray(got.pos)[:, :state.n_liquid]).all()
-
-
-def test_resident_slab_migration_overspill(mesh8):
-    """Force more same-direction slab crossers in one step than the kmig
-    payload width (128): overspilled emigrants must re-park in the side
-    buffer and retry next step instead of being destroyed (ADVICE r4 high:
-    a spike step used to delete them permanently — cand_pid zeroed while
-    their slot was still cleared)."""
-    b = scene.SceneBuilder()
-    # 288 liquid particles in two x-planes one cell apart: when a plane
-    # crosses a slab boundary, 144 > kmig=128 emigrate in one step
-    b.add_liquid_block((2, 12, 12), 2 * R, origin=(-0.05, -0.3, -0.3))
-    sc = b.build()
-    cfg = default_config("dfsph", particle_radius=R,
-                         domain_min=(-2.4, -0.5, -0.5),
-                         domain_max=(2.4, 0.5, 0.5),
-                         use_pallas=True, adaptive_dt=False, dt_init=3e-3)
-    cfg = halo.slab_config(cfg, 8)
-    state = init_state(sc, cfg)
-    # ~1.1 cells/step along +x: the whole block marches across slab
-    # boundaries, producing at least one >kmig crossing spike
-    state = state.replace(dt=jnp.float32(cfg.dt_init),
-                          vel=state.vel.at[0].add(36.0))
-    names = rsl.resident_fields("dfsph")
-    srs = rsl.slab_res_init(state, cfg, mesh8, names)
-    stepn = jax.jit(lambda s: rsl.step_slab_resident(s, cfg, mesh8, "dfsph"))
-    max_side = 0
-    for _ in range(8):
-        srs = stepn(srs)
-        max_side = max(max_side, int(np.max(np.asarray(srs.overflow))))
-        assert _conserved(srs, state.n_total)
-    assert max_side > 0, "spill path never fired — scene no longer forces it"
-    assert int(np.sum(np.asarray(srs.lost))) == 0
-
-
 def test_resident_slab_hlo_census(mesh8):
     """The compiled per-device step shows the RESIDENT + FUSED structure:
     the fused whole-iteration Mosaic kernels run inside the while loops, no
@@ -199,78 +111,3 @@ def test_resident_slab_hlo_census(mesh8):
     assert not bad, bad[:3]
 
 
-def test_slab_direct_matches_single_device(mesh8):
-    """The padded-direct front-end (per-step local re-sort,
-    step_slab_direct — the decomposition of the measured-best single-chip
-    structure, VERDICT r4 directive 5) tracks the single-device trajectory
-    through cross-slab migration, conserving every particle."""
-    sc, cfg = _scene_cfg()
-    state = init_state(sc, cfg)
-    state = state.replace(dt=jnp.float32(cfg.dt_init),
-                          vel=state.vel.at[0].add(2.2))
-    names = rsl.resident_fields("dfsph")
-    srs = rsl.slab_res_init(state, cfg, mesh8, names)
-    ref = state
-    step1 = jax.jit(lambda s: dfsph.step(s, cfg))
-    stepn = jax.jit(lambda s: rsl.step_slab_direct(s, cfg, mesh8, "dfsph"))
-    for _ in range(8):
-        ref = step1(ref)
-        srs = stepn(srs)
-    got = rsl.gather_state(srs, state, names)
-    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
-                               rtol=2e-3, atol=5e-4)
-    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
-                               rtol=5e-3, atol=5e-2)
-    assert _conserved(srs, state.n_total)
-    assert int(np.sum(np.asarray(srs.lost))) == 0
-
-
-def _glue_eqns(jaxpr):
-    """Runtime-op census with pallas kernels atomic (each is ONE fused TPU
-    program; what the axon launch gap charges is the glue around them)."""
-    count = 0
-    for eq in jaxpr.eqns:
-        count += 1
-        if eq.primitive.name == "pallas_call":
-            continue
-        for v in eq.params.values():
-            for w in (v if isinstance(v, (list, tuple)) else [v]):
-                if hasattr(w, "jaxpr"):
-                    count += _glue_eqns(w.jaxpr)
-                elif hasattr(w, "eqns"):
-                    count += _glue_eqns(w)
-    return count
-
-
-def test_slab_direct_glue_census(mesh8):
-    """The r3 census bar (VERDICT r4 directive 5), measured honestly.
-
-    Glue-op counts (pallas kernels atomic), 8 devices, DFSPH:
-      single-chip padded-direct step:        959
-      slab DIRECT front (this test):        1665  (1.74x)
-      slab RESIDENT front:                  2226  (2.32x)
-
-    The direct front's +74% over single-chip is NOT a second binning
-    system: it is the per-sweep ghost-plane exchange (one ppermute pair +
-    stack/slice/update wrapper per pair-read sweep input, ~12 sites/step)
-    plus the emigrant migration — the irreducible cost of a halo
-    decomposition expressed in XLA ops (a mid-kernel exchange would need
-    remote DMA inside Mosaic, which the TPU pallas surface does not
-    expose).  The original "within ~15% of single-chip" bar is therefore
-    not reachable for ANY halo-exchanged slab step; what this test pins is
-    (a) the direct front carries no rebin machinery (<= 1.8x) and (b) it
-    strictly undercuts the resident front it replaced as default."""
-    sc, cfg = _scene_cfg()
-    state = init_state(sc, cfg)
-    names = rsl.resident_fields("dfsph")
-    srs = rsl.slab_res_init(state, cfg, mesh8, names)
-    jx_direct = jax.make_jaxpr(
-        lambda s: rsl.step_slab_direct(s, cfg, mesh8, "dfsph"))(srs)
-    jx_res = jax.make_jaxpr(
-        lambda s: rsl.step_slab_resident(s, cfg, mesh8, "dfsph"))(srs)
-    jx_one = jax.make_jaxpr(lambda s: dfsph.step(s, cfg))(state)
-    c_direct = _glue_eqns(jx_direct.jaxpr)
-    c_res = _glue_eqns(jx_res.jaxpr)
-    c_one = _glue_eqns(jx_one.jaxpr)
-    assert c_direct <= 1.8 * c_one, (c_direct, c_one, c_direct / c_one)
-    assert c_direct <= 0.85 * c_res, (c_direct, c_res)
