@@ -56,3 +56,41 @@ def glue_eqns(jaxpr):
                 elif hasattr(w, "eqns"):
                     count += glue_eqns(w)
     return count
+
+
+def run_solver_slab(mesh8, solver):
+    """Differential: ``solver`` under the 8-device resident slab
+    decomposition vs its single-chip step (shared by the per-solver test
+    files — one heavy interpret-mode compile per pytest process, so each
+    file stays inside the cold-cache budget; run_suite.sh is per-file)."""
+    import jax.numpy as jnp
+
+    from wcsph_tpu.parallel import resident_slab as rsl
+    from wcsph_tpu.simulation import default_config, get_solver
+    from wcsph_tpu.state import init_state
+
+    sc = scene.dam_break(particle_radius=R, fluid_dims=(5, 5, 5),
+                         box_extent=0.6)
+    lo, hi = sc.domain(pad=4 * R)
+    cfg = default_config(solver, particle_radius=R, domain_min=lo,
+                         domain_max=hi, use_pallas=True)
+    cfg = halo.slab_config(cfg, 8)
+    state = init_state(sc, cfg)
+    state = state.replace(dt=jnp.float32(cfg.dt_init))
+    sol = get_solver(solver)
+    if hasattr(sol, "prepare"):
+        state = sol.prepare(state, cfg)
+
+    names = rsl.resident_fields(solver)
+    srs = rsl.slab_res_init(state, cfg, mesh8, names)
+    stepn = jax.jit(lambda s: rsl.step_slab_resident(s, cfg, mesh8, solver))
+    ref = state
+    step1 = jax.jit(lambda s: sol.step(s, cfg))
+    for _ in range(4):
+        ref = step1(ref)
+        srs = stepn(srs)
+    got = rsl.gather_state(srs, state, names)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=2e-3, atol=6e-4)
+    assert conserved(srs, state.n_total)
+    assert np.isfinite(np.asarray(got.pos)[:, :state.n_liquid]).all()
