@@ -290,6 +290,15 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--out", default="benchmarks/results.json")
     ap.add_argument("--md", default="benchmarks/RESULTS.md")
+    ap.add_argument("--merge", action="store_true",
+                    help="throughput: replace only the regenerated "
+                         "(solver, scene, n_liquid) rows, keeping the other "
+                         "committed rows — a partial regen must not clobber "
+                         "the rest of the table (VERDICT r4 missing #1 was "
+                         "exactly such a clobber in reference_plots)")
+    ap.add_argument("--tension-scales", default="",
+                    help="override the scales used for the tension-enabled "
+                         "dfsph rows (default: the --scales >= 40)")
     args = ap.parse_args()
 
     import jax
@@ -300,7 +309,7 @@ def main():
         pass
 
     solvers = args.solvers.split(",")
-    scales = [int(s) for s in args.scales.split(",")]
+    scales = [int(s) for s in args.scales.split(",") if s]
     # partial-suite runs keep the other suite's rows from the existing
     # results.json, so --suite iters does not clobber the throughput table
     result = {"backend": jax.default_backend()}
@@ -323,13 +332,29 @@ def main():
                            + run_iters(solvers, max(args.steps, 4000),
                                        "violent", sim_time_target=2.0))
     if args.suite in ("all", "throughput"):
-        result["throughput"] = run_throughput(solvers, scales,
-                                              args.bench_steps, args.warmup)
+        new_rows = run_throughput(solvers, scales,
+                                  args.bench_steps, args.warmup)
         # tension-enabled flagship rows (cohesion/adhesion engine ops on the
         # hot path — VERDICT r2 items 3/4 evidence)
-        result["throughput"] += run_throughput(
-            ["dfsph"], [s for s in scales if s >= 40],
-            args.bench_steps, args.warmup, scene="tension")
+        t_scales = ([int(s) for s in args.tension_scales.split(",") if s]
+                    if args.tension_scales else [s for s in scales if s >= 40])
+        new_rows += run_throughput(["dfsph"], t_scales,
+                                   args.bench_steps, args.warmup,
+                                   scene="tension")
+        if args.merge and result.get("throughput"):
+            key = lambda r: (r["solver"], r.get("scene", "canonical"),
+                             r["n_liquid"])
+            fresh = {key(r) for r in new_rows}
+            kept = [r for r in result["throughput"] if key(r) not in fresh]
+            # stable presentation order: solver, then scene, then size
+            order = {s: i for i, s in
+                     enumerate(["sesph", "dfsph", "pcisph", "iisph"])}
+            result["throughput"] = sorted(
+                kept + new_rows, key=lambda r: (order.get(r["solver"], 9),
+                                                r.get("scene", "canonical"),
+                                                r["n_liquid"]))
+        else:
+            result["throughput"] = new_rows
 
     with open(args.out, "w") as f:
         # allow_nan=False: results.json must stay strict RFC 8259 JSON; a

@@ -37,7 +37,12 @@ def build_scene(radius: float, fluid_dims, out_dir: str):
 
     verts, faces = meshgen.weir_tank(size=SIZE, weir_x=WEIR_X,
                                      weir_height=0.7, torus_kw=TORUS)
-    cache = os.path.join(out_dir, f"showcase_shell_{radius:g}.npy")
+    name = f"showcase_shell_{radius:g}.npy"
+    cache = os.path.join(out_dir, name)
+    committed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "assets", name)
+    if not os.path.exists(cache) and os.path.exists(committed):
+        cache = committed   # the TPU-sampled shell committed as evidence
     if os.path.exists(cache):
         shell = np.load(cache)
         print(f"[scene] loaded cached shell ({shell.shape[0]} pts)")
@@ -114,7 +119,15 @@ def main():
     slack = 6 * r
     lo_box = np.array([-SIZE[0] / 2, -SIZE[1] / 2, -SIZE[2] / 2]) - slack
     hi_box = np.array([SIZE[0] / 2, SIZE[1] * 2, SIZE[2] / 2]) + slack
+    # containment is asymmetric on purpose: penetrating a WALL (sides,
+    # floor) means the sampled shell leaked — a bug, abort; but the tank is
+    # open-topped and the dam-break impact (vmax ~12 m/s here) legitimately
+    # launches ballistic droplets above any finite rim height — those are
+    # physics, counted and reported, never a failure (they fall back and
+    # re-enter; the grid clamps their bins to the top plane where W=0
+    # against everything, so they exert no spurious forces meanwhile)
     crossed_max = 0.0
+    ejecta_max = 0
     t_start = time.time()
     for frame in range(args.frames):
         t0 = time.time()
@@ -122,16 +135,23 @@ def main():
         sim.check_health()
         tel = sim.telemetry()
         liq = np.asarray(sim.state.pos[:, :nl])
-        contained = bool(((liq >= lo_box[:, None])
-                          & (liq <= hi_box[:, None])).all())
+        walled = ((liq[0] >= lo_box[0]) & (liq[0] <= hi_box[0])
+                  & (liq[1] >= lo_box[1])
+                  & (liq[2] >= lo_box[2]) & (liq[2] <= hi_box[2]))
+        leaked = int((~walled).sum())
+        ejecta = int((liq[1] > hi_box[1]).sum())
+        ejecta_max = max(ejecta_max, ejecta)
         crossed = float((liq[0] > WEIR_X).mean())
         crossed_max = max(crossed_max, crossed)
         print(f"[frame {frame:3d}] t={tel['time']:.3f}s dt={tel['dt']:.1e} "
               f"pr={tel['pressure_iters']} err={tel['density_error']:.2e} "
               f"vmax={tel['vel_max']:.2f} crossed={crossed:4.1%} "
-              f"contained={contained} wall={time.time() - t0:.2f}s")
-        if not contained:
-            raise SystemExit("fluid escaped the vessel — boundary leak")
+              f"ejecta={ejecta} leaked={leaked} "
+              f"wall={time.time() - t0:.2f}s")
+        if leaked:
+            bad = liq[:, ~walled][:, :5]
+            raise SystemExit(f"{leaked} particles penetrated a wall "
+                             f"(sampled-shell leak), e.g. {bad.T}")
         if canvas and frame % args.render_every == 0:
             from PIL import Image
             img = canvas.render(sim.state.pos, nl,
@@ -141,7 +161,8 @@ def main():
                                                 f"frame_{frame:04d}.png"))
     steps = args.frames * args.steps_per_frame
     print(f"[done] {steps} steps, {nl * steps / (time.time() - t_start):.3e} "
-          f"particle-steps/s (incl. compile), max crossed {crossed_max:.1%}")
+          f"particle-steps/s (incl. compile), max crossed {crossed_max:.1%}, "
+          f"max airborne ejecta {ejecta_max}")
 
     if args.export_surface:
         t0 = time.time()

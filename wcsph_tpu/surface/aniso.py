@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .. import dense_ops
@@ -27,6 +28,7 @@ KR = 4.0
 KS = 1400.0
 KN = 0.5
 MIN_NEIGHBORS = 25
+EIG_CHUNK = 65536   # slots per batched-eigh lax.map step (memory bound)
 
 
 class Anisotropy(NamedTuple):
@@ -82,27 +84,43 @@ def compute(grid: DenseGrid, cfg: SimConfig) -> Anisotropy:
 
     c_xx, c_xy, c_xz, c_yy, c_yz, c_zz = (
         comps[i] / jnp.maximum(sw2, 1e-12) for i in range(6))
-    cmat = jnp.stack([
-        jnp.stack([c_xx, c_xy, c_xz], -1),
-        jnp.stack([c_xy, c_yy, c_yz], -1),
-        jnp.stack([c_xz, c_yz, c_zz], -1),
-    ], -2)                                         # (C, NC, 3, 3)
 
-    # spectral clamp (ParticleData.py:246-278); eigh ascending -> reverse
-    eigval, eigvec = jnp.linalg.eigh(cmat)
-    s0 = eigval[..., 2]
-    s1 = jnp.maximum(eigval[..., 1], s0 / KR)
-    s2 = jnp.maximum(eigval[..., 0], s0 / KR)
-    inv = jnp.stack([1.0 / (KS * jnp.maximum(s2, 1e-20)),
-                     1.0 / (KS * jnp.maximum(s1, 1e-20)),
-                     1.0 / (KS * jnp.maximum(s0, 1e-20))], -1)
-    g_full = jnp.einsum("...ij,...j,...kj->...ik", eigvec, inv, eigvec)
+    # spectral clamp (ParticleData.py:246-278); eigh ascending -> reverse.
+    # NEVER materialize a (C, NC, 3, 3) tensor: eigh's (..., 2, 2)
+    # temporaries tile-pad 64x on TPU (T(2,128) puts the 2-wide dims on
+    # 128-lane tiles) — at showcase scale that was 8 x 3.2 GB and OOMed the
+    # 16 GB HBM.  The slot axis is flattened and chunked through lax.map,
+    # so the tiny-matrix batch is bounded at EIG_CHUNK slots and every
+    # full-size array stays planar (CLAUDE.md layout invariant).
+    S = cap * nc
+    npad = (-S) % EIG_CHUNK
+    chunks = tuple(jnp.pad(c.reshape(-1), (0, npad)).reshape(-1, EIG_CHUNK)
+                   for c in (c_xx, c_xy, c_xz, c_yy, c_yz, c_zz))
+
+    def chunk_eig(cs):
+        xx, xy, xz, yy, yz, zz = cs
+        m = jnp.stack([jnp.stack([xx, xy, xz], -1),
+                       jnp.stack([xy, yy, yz], -1),
+                       jnp.stack([xz, yz, zz], -1)], -2)   # (EIG_CHUNK,3,3)
+        eigval, eigvec = jnp.linalg.eigh(m)
+        s0 = eigval[..., 2]
+        s1 = jnp.maximum(eigval[..., 1], s0 / KR)
+        s2 = jnp.maximum(eigval[..., 0], s0 / KR)
+        inv = jnp.stack([1.0 / (KS * jnp.maximum(s2, 1e-20)),
+                         1.0 / (KS * jnp.maximum(s1, 1e-20)),
+                         1.0 / (KS * jnp.maximum(s0, 1e-20))], -1)
+        gf = jnp.einsum("...ij,...j,...kj->...ik", eigvec, inv, eigvec)
+        return tuple(gf[..., i, j]
+                     for i in range(3) for j in range(3)) + (s0,)
+
+    outs = jax.lax.map(chunk_eig, chunks)
+    unflat = lambda a: a.reshape(-1)[:S].reshape(cap, nc)
+    s0 = unflat(outs[9])
 
     ok = (cnt > MIN_NEIGHBORS) & (s0 > 0.0) & grid.liquid
-    eye = KN * jnp.eye(3, dtype=jnp.float32)
-    g_full = jnp.where(ok[..., None, None], g_full, eye)
-
-    g = tuple(g_full[..., i, j] for i in range(3) for j in range(3))
+    g = tuple(jnp.where(ok, unflat(outs[3 * i + j]),
+                        KN if i == j else 0.0)
+              for i in range(3) for j in range(3))
     return Anisotropy(pos_avr=pos_avr, g=g)
 
 

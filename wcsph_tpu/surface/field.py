@@ -31,6 +31,13 @@ from ..grid import DenseGrid
 
 MC_SUB = 4  # reconstruction points per sim cell per axis
 
+# refinement points evaluated per inner step: the per-offset pair block is
+# (points, C, NC) — at showcase scale (NC ~1e5, C=32) all 64 points at once
+# is a ~2.6 GB temporary and the whole sweep OOMs 16 GB HBM under remat;
+# 16-point chunks keep the peak ~4x smaller at identical results (the chunk
+# axis never splits a summation)
+MC_POINT_CHUNK = 16
+
 
 def _point_offsets(cfg: SimConfig) -> np.ndarray:
     """(3, MC_SUB^3) offsets of the reconstruction points inside one cell."""
@@ -82,24 +89,37 @@ def mc_field_packed(grid: DenseGrid, cfg: SimConfig, rhop: jnp.ndarray,
     # gate — both are heuristic splash filters.
     rho_gate = cfg.liquid_mass * kernels.cubic_w0(cfg.support_radius)
 
+    nc = cfg.num_cells
+    bc = MC_POINT_CHUNK if b % MC_POINT_CHUNK == 0 else b
+    nch = b // bc
+    # (nch, 3, bc, NC) — point chunks ride a lax.map so only one chunk's
+    # pair block is live at a time
+    home_ch = jnp.moveaxis(home.reshape(3, nch, bc, nc), 1, 0)
+
     def fn(acc, w, lp):
         xj = lp.shift(x_pad, w.lin)                    # (3, C, NC)
-        r = home[:, :, None, :] - xj[:, None, :, :]    # (3, B, C, NC)
-        if g_pads is not None:
-            gm = [lp.shift(gp, w.lin)[None] for gp in g_pads]  # 9 x (1, C, NC)
-            gr = [2.0 * (gm[3 * i] * r[0] + gm[3 * i + 1] * r[1]
-                         + gm[3 * i + 2] * r[2]) for i in range(3)]
-            d2 = gr[0] ** 2 + gr[1] ** 2 + gr[2] ** 2
-        else:
-            d2 = jnp.sum(r * r, axis=0)                # (B, C, NC)
         liq_j = lp.shift(liq_pad, w.lin)[None]
         rho_j = lp.shift(rho_pad, w.lin)[None]
         gate = liq_j & (rho_j > rho_gate)
-        wk = jnp.where(gate, kernels.cubic_w_scalar(jnp.sqrt(d2), h_mc), 0.0)
-        coeff = jnp.where(gate, cfg.liquid_mass / jnp.maximum(rho_j, 1.0), 0.0)
-        return acc + jnp.sum(coeff * wk, axis=1)
+        coeff = jnp.where(gate, cfg.liquid_mass / jnp.maximum(rho_j, 1.0),
+                          0.0)                         # (1, C, NC)
+        gm = (None if g_pads is None
+              else [lp.shift(gp, w.lin)[None] for gp in g_pads])
 
-    nc = cfg.num_cells
+        def chunk(home_c):                             # (3, bc, NC)
+            r = home_c[:, :, None, :] - xj[:, None, :, :]  # (3, bc, C, NC)
+            if gm is not None:
+                gr = [2.0 * (gm[3 * i] * r[0] + gm[3 * i + 1] * r[1]
+                             + gm[3 * i + 2] * r[2]) for i in range(3)]
+                d2 = gr[0] ** 2 + gr[1] ** 2 + gr[2] ** 2
+            else:
+                d2 = jnp.sum(r * r, axis=0)            # (bc, C, NC)
+            wk = jnp.where(gate,
+                           kernels.cubic_w_scalar(jnp.sqrt(d2), h_mc), 0.0)
+            return jnp.sum(coeff * wk, axis=1)         # (bc, NC)
+
+        return acc + jax.lax.map(chunk, home_ch).reshape(b, nc)
+
     return loop.scan(fn, jnp.zeros((b, nc), jnp.float32))
 
 
