@@ -42,8 +42,12 @@ def test_harness_rows_within_budget():
         assert fs <= _budget(r["n_liquid"]), (
             f"{r['solver']} @ {r['n_liquid']}: first step {fs:.0f}s "
             f"exceeds the {_budget(r['n_liquid']):.0f}s compile budget")
+        # build_s bounds the 1M host scene construction (391.7 s before the
+        # vectorized SceneBuilder); small-scene rows are dominated by the
+        # solid-volume-scale jit compile that Simulation() folds into the
+        # same wall interval, which the first_step budget already covers
         bs = r.get("build_s")
-        if bs is not None:
+        if bs is not None and r["n_liquid"] >= 900_000:
             assert bs <= BUILD_1M_S, (
                 f"{r['solver']} @ {r['n_liquid']}: scene build {bs:.0f}s "
                 f"exceeds the {BUILD_1M_S:.0f}s host budget")
